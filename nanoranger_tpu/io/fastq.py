@@ -1,0 +1,137 @@
+"""Streamed fastq(.gz) reading into fixed-shape device-ready batches.
+
+Replaces the reference's seqkit-split + per-shard pysam fastq handling
+(reference pipeline.py:76-151): instead of materializing N shard files, we
+stream records and emit padded (B, L) int8 batches with length/ID sidecars.
+Multi-host sharding assigns record ranges round-robin (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io
+import os
+from typing import Iterator
+
+import numpy as np
+
+from .encode import encode_batch
+
+
+@dataclasses.dataclass
+class FastqRecord:
+    name: str        # full header line sans '@' (first token; reference uses qname)
+    seq: bytes
+    qual: bytes
+
+
+@dataclasses.dataclass
+class ReadBatch:
+    """Columnar batch of reads: the engine's unit of work.
+
+    codes:   (B, L) int8 base codes, PAD-padded
+    lengths: (B,)   int32
+    names:   list[str] read names (host-side join key, replaces the
+             reference's read-name string metadata, SURVEY.md §1)
+    quals:   list[bytes] raw quality strings (host-side; only needed at
+             output boundaries, never shipped to device)
+    """
+    codes: np.ndarray
+    lengths: np.ndarray
+    names: list
+    quals: list
+
+    def __len__(self):
+        return len(self.names)
+
+
+def _open_text(path: str):
+    if path.endswith(".gz"):
+        return io.TextIOWrapper(
+            io.BufferedReader(gzip.open(path, "rb"), buffer_size=1 << 20),
+            encoding="ascii", errors="replace")
+    return open(path, "rt", buffering=1 << 20)
+
+
+def iter_fastq(path: str) -> Iterator[FastqRecord]:
+    """Yield records from a fastq or fastq.gz file."""
+    with _open_text(path) as f:
+        while True:
+            header = f.readline()
+            if not header:
+                return
+            header = header.rstrip("\n")
+            if not header:
+                continue
+            if not header.startswith("@"):
+                raise ValueError(f"malformed fastq header: {header[:60]!r}")
+            seq = f.readline().rstrip("\n")
+            plus = f.readline()
+            if not plus.startswith("+"):
+                raise ValueError("malformed fastq: missing '+' line")
+            qual = f.readline().rstrip("\n")
+            # reference uses pysam qname == first whitespace token
+            name = header[1:].split()[0] if header[1:] else ""
+            yield FastqRecord(name, seq.encode("ascii"), qual.encode("ascii"))
+
+
+def iter_batches(path: str, batch_size: int = 4096,
+                 max_len: int | None = None,
+                 pad_to_multiple: int = 128) -> Iterator[ReadBatch]:
+    """Stream fixed-shape batches. Sequence length is padded to the batch max
+    rounded up to `pad_to_multiple` (TPU lane alignment); `max_len` truncates
+    pathological ultra-long reads if set."""
+    buf: list[FastqRecord] = []
+    for rec in iter_fastq(path):
+        buf.append(rec)
+        if len(buf) == batch_size:
+            yield _make_batch(buf, max_len, pad_to_multiple)
+            buf = []
+    if buf:
+        yield _make_batch(buf, max_len, pad_to_multiple)
+
+
+def _make_batch(records: list[FastqRecord], max_len, pad_to_multiple) -> ReadBatch:
+    L = max((len(r.seq) for r in records), default=0)
+    if max_len is not None:
+        L = min(L, max_len)
+    L = max(pad_to_multiple, ((L + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple)
+    codes, lengths = encode_batch([r.seq for r in records], max_len=L)
+    return ReadBatch(codes, lengths,
+                     [r.name for r in records], [r.qual for r in records])
+
+
+def read_all(path: str, max_len: int | None = None,
+             pad_to_multiple: int = 128) -> ReadBatch:
+    """Load an entire (small) fastq as one batch — used for tests/golden runs."""
+    records = list(iter_fastq(path))
+    return _make_batch(records, max_len, pad_to_multiple)
+
+
+class FastqWriter:
+    """Write fastq(.gz); gz output uses a single deflate stream (pigz-free)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        if path.endswith(".gz"):
+            self._f = gzip.open(path, "wb", compresslevel=4)
+        else:
+            self._f = open(path, "wb")
+
+    def write(self, name: str, seq: str | bytes, qual: str | bytes):
+        if isinstance(seq, str):
+            seq = seq.encode("ascii")
+        if isinstance(qual, str):
+            qual = qual.encode("ascii")
+        self._f.write(b"@" + name.encode("ascii") + b"\n" + seq + b"\n+\n" + qual + b"\n")
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
