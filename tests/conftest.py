@@ -1,13 +1,22 @@
-"""Test config: run JAX on a virtual 8-device CPU mesh so multi-chip sharding
-logic is exercised without TPU hardware (the driver separately dry-runs the
-multichip path; bench.py runs on the real chip)."""
+"""Test config: force JAX onto a virtual 8-device CPU platform.
+
+The container's sitecustomize registers an 'axon' TPU-tunnel backend and
+forcibly sets jax_platforms='axon,cpu' (overriding JAX_PLATFORMS), which
+routes every op through a remote relay — catastrophic for unit tests.
+We override back to pure CPU *before* any backend is initialized, and use
+8 virtual host devices so sharding logic is exercised without hardware.
+bench.py / production runs keep the default (real TPU) platform.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
@@ -16,3 +25,9 @@ import pytest  # noqa: E402
 def rng():
     import numpy as np
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on CPU; axon override failed")
