@@ -93,6 +93,15 @@ class BarcodeMatchSpec:
     as_min: int
     umi_ref_offset: int
     umi_len: int
+    # Nominal query offset of the barcode inside the extracted BC-UMI
+    # candidate (derived from each mode's extraction slice layout; the
+    # adapter scan anchors it, so seeding only needs ± jitter around this):
+    #   5p10X*: candidate starts at the 14nt partial-R1 motif → bc at 14
+    #   slideseq: rev(dd[start-22:end+16]) → 8 spare + bc8 at 8
+    #   3p10XTCR: rev(match)[14:] → 6 truseq-rc + bc at 6 (utils.py:355)
+    #   nuc: rev(end_qu[start-35:end-12]) → 7 truseq-rc + bc at 7 (utils.py:1068)
+    #   3pGEX: rev(end_qu[start-32:start+3]) → 3 truseq-rc + bc at 3 (utils.py:1374)
+    bc_query_offset: int = 14
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,7 +152,7 @@ register(ChemistrySpec(
                      k=6, max_ed_exclusive=7, n_wildcard=True, pick_last=True),
     subread=SubreadSpec("qstart", 0, False, "qend", 0, False, min_len=0),  # utils.py:146-148
     barcode=BarcodeMatchSpec(30, 40, 16, False, as_min=14,
-                             umi_ref_offset=46, umi_len=10),  # utils.py:615,699,708
+                             umi_ref_offset=46, umi_len=10, bc_query_offset=14),  # utils.py:615,699,708
     bcumi_rule="slice", bcumi_min_len=0,
     requires_adapter_for_subread=True,                        # utils.py:136-165
     subread_requires=None,
@@ -159,7 +168,7 @@ register(ChemistrySpec(
     # sub_strt = qend-60 (if qlen>60 else qstart), sub_end = qend+80 clamped
     subread=SubreadSpec("qend", -60, False, "qend", +80, True, min_len=0),  # utils.py:245-253
     barcode=BarcodeMatchSpec(30, 40, 16, False, as_min=14,
-                             umi_ref_offset=46, umi_len=12),  # utils.py:845,856
+                             umi_ref_offset=46, umi_len=12, bc_query_offset=14),  # utils.py:845,856
     bcumi_rule="slice", bcumi_min_len=0,
     requires_adapter_for_subread=False,                       # all subreads written, utils.py:266-269
     subread_requires=None,
@@ -190,7 +199,7 @@ register(ChemistrySpec(
     # VDJ subread: [max(0,qstart-200) : qstart+80]; accept len>100 & span>400
     subread=SubreadSpec("qstart", -200, True, "qstart", +80, False, min_len=100),  # utils.py:415-419,429
     barcode=BarcodeMatchSpec(15, 24, 14, True, as_min=30,
-                             umi_ref_offset=47, umi_len=9),   # utils.py:584-595,638,646-649
+                             umi_ref_offset=47, umi_len=9, bc_query_offset=8),   # utils.py:584-595,638,646-649
     bcumi_rule="rev_slideseq", bcumi_min_len=0,               # utils.py:443-448; post filter separate
     requires_adapter_for_subread=False,
     subread_requires="span400",                               # utils.py:405-407
@@ -207,7 +216,7 @@ register(ChemistrySpec(
     # sub = [max(0,qstart-350) : qstart+100]; accept dist<6 & len>100 & qlen>100
     subread=SubreadSpec("qstart", -350, True, "qstart", +100, False, min_len=100),  # utils.py:336-342
     barcode=BarcodeMatchSpec(15, 24, 14, True, as_min=30,
-                             umi_ref_offset=47, umi_len=9),   # pipeline.py:623, utils.py:638-649
+                             umi_ref_offset=47, umi_len=9, bc_query_offset=6),   # pipeline.py:623, utils.py:638-649
     bcumi_rule="rev_slice14", bcumi_min_len=0,                # utils.py:355
     requires_adapter_for_subread=True,                        # utils.py:350-357
     subread_requires="qlen100",
@@ -225,7 +234,7 @@ register(ChemistrySpec(
     # sub = [qstart : qend+100 clamped]; accept len>100
     subread=SubreadSpec("qstart", 0, False, "qend", +100, True, min_len=100),  # utils.py:1020-1029,1039
     barcode=BarcodeMatchSpec(16, 28, 16, False, as_min=14,
-                             umi_ref_offset=32, umi_len=12),  # utils.py:1125-1127,1150,1159
+                             umi_ref_offset=32, umi_len=12, bc_query_offset=7),  # utils.py:1125-1127,1150,1159
     bcumi_rule="rev_nuc", bcumi_min_len=30,                   # utils.py:1068,1077
     requires_adapter_for_subread=False,
     subread_requires=None,
@@ -244,7 +253,7 @@ register(ChemistrySpec(
     # sub = [max(0,qstart-1) : qend+1 clamped]; accept len>50
     subread=SubreadSpec("qstart", -1, True, "qend", +1, True, min_len=50),  # utils.py:1331-1341,1353
     barcode=BarcodeMatchSpec(4, 17, 16, False, as_min=14,
-                             umi_ref_offset=20, umi_len=12),  # utils.py:1451-1453,1479,1490-1497
+                             umi_ref_offset=20, umi_len=12, bc_query_offset=3),  # utils.py:1451-1453,1479,1490-1497
     bcumi_rule="rev_3pgex", bcumi_min_len=30,                 # utils.py:1374,1378
     requires_adapter_for_subread=False,
     subread_requires=None,

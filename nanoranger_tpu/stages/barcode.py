@@ -1,0 +1,127 @@
+"""Barcode matching stage: seed screen → exact rescoring → unique-best
+acceptance → UMI extraction.
+
+Replaces the reference's STAR sub-stack (write_bc_* → barcode_ref.sh →
+barcode_align.sh → process_matching_* SAM scan; SURVEY.md §3.5) with one
+jitted device step.
+
+Status codes per candidate (mirroring what the reference observes from
+STAR's SAM output):
+  0 ACCEPT    — unique best, AS >= as_min, UMI intact (read contributes to
+                read_bcumi_dic, utils.py:718)
+  1 LOW_AS    — aligned best < as_min (present in all_AS histogram only)
+  2 MULTIMAP  — score tie across different barcodes (STAR
+                outFilterMultimapScoreRange 0 drop; never reaches the SAM)
+  3 NO_CAND   — no seed hit at all (STAR unmapped)
+  4 BAD_UMI   — accepted barcode but UMI column unaligned or truncated
+                (reference umi='N' / len<umi_len → bad_bc, utils.py:710-716)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..chemistry import BarcodeMatchSpec
+from ..io import whitelist as wl
+from ..io.encode import PAD, encode_batch
+from ..ops.seed_screen import SeedTable, plan_for, screen
+from ..ops.sw import NEG, sw_end2end
+
+ACCEPT, LOW_AS, MULTIMAP, NO_CAND, BAD_UMI = 0, 1, 2, 3, 4
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "umi_ref_offset", "umi_len",
+                                    "as_min", "top_k", "maxocc"))
+def _match_jit(q, qlen, refs, rlen_scalar,
+               starts0, counts0, entries0, hkeys0,
+               starts1, counts1, entries1, hkeys1,
+               plan, umi_ref_offset, umi_len, as_min, top_k, maxocc):
+    B, Lq = q.shape
+    cand, cheap = screen(q, qlen, starts0, counts0, entries0, hkeys0,
+                         starts1, counts1, entries1, hkeys1, plan, top_k,
+                         maxocc)
+    K = top_k
+    has_cand = cand >= 0
+    cand_cl = jnp.clip(cand, 0, refs.shape[0] - 1)
+    ref_pairs = refs[cand_cl].reshape(B * K, -1)
+    q_pairs = jnp.repeat(q, K, axis=0)
+    qlen_pairs = jnp.repeat(qlen, K)
+    rlen_pairs = jnp.full((B * K,), rlen_scalar, jnp.int32)
+    score, qpos, uvalid = sw_end2end(q_pairs, qlen_pairs, ref_pairs,
+                                     rlen_pairs, umi_ref_offset)
+    score = jnp.where(has_cand.reshape(-1), score, NEG).reshape(B, K)
+    qpos = qpos.reshape(B, K)
+    uvalid = uvalid.reshape(B, K)
+
+    best_k = jnp.argmax(score, axis=1)
+    best_score = jnp.take_along_axis(score, best_k[:, None], axis=1)[:, 0]
+    best_bc = jnp.take_along_axis(cand, best_k[:, None], axis=1)[:, 0]
+    # runner-up among DIFFERENT barcodes (duplicate candidates of the same
+    # barcode must not look like multimapping)
+    other = (cand != best_bc[:, None]) & has_cand
+    runner = jnp.max(jnp.where(other, score, NEG), axis=1)
+
+    any_cand = jnp.any(has_cand, axis=1)
+    multimap = any_cand & (runner == best_score) & (best_score > NEG)
+    low = any_cand & ~multimap & (best_score < as_min)
+
+    bqpos = jnp.take_along_axis(qpos, best_k[:, None], axis=1)[:, 0]
+    buvalid = jnp.take_along_axis(uvalid, best_k[:, None], axis=1)[:, 0]
+    umi_ok = buvalid & (bqpos + umi_len <= qlen) & (bqpos >= 0)
+
+    status = jnp.full((B,), NO_CAND, jnp.int32)
+    status = jnp.where(any_cand, LOW_AS, status)
+    status = jnp.where(any_cand & ~low & multimap, MULTIMAP, status)
+    ok = any_cand & ~low & ~multimap
+    status = jnp.where(ok & umi_ok, ACCEPT, jnp.where(ok, BAD_UMI, status))
+
+    # UMI codes gather
+    off = jnp.arange(umi_len, dtype=jnp.int32)[None, :]
+    uidx = jnp.clip(bqpos[:, None] + off, 0, Lq - 1)
+    umi = jnp.take_along_axis(q, uidx, axis=1)
+    umi = jnp.where((status == ACCEPT)[:, None], umi, PAD)
+    return best_bc, best_score, status, umi, bqpos
+
+
+class BarcodeMatcher:
+    """Holds device-resident whitelist tables for one chemistry."""
+
+    def __init__(self, barcodes: np.ndarray, spec: BarcodeMatchSpec,
+                 jitter: int = 8, top_k: int = 8):
+        self.spec = spec
+        self.barcodes = np.asarray(barcodes)
+        bc_codes, _ = encode_batch([b for b in self.barcodes],
+                                   max_len=spec.bc_len)
+        refs_np, ref_len = wl.padded_refs(self.barcodes, spec)
+        self.ref_len = int(ref_len)
+        self.refs = jnp.asarray(refs_np)
+        self.plan = plan_for(spec, spec.bc_query_offset, jitter)
+        self.top_k = top_k
+        t = SeedTable(bc_codes.astype(np.int64), self.plan)
+        self.maxocc = t.maxocc
+        self._tables = tuple(jnp.asarray(a) for a in
+                             (t.starts[0], t.counts[0], t.entries[0], t.half_keys[0],
+                              t.starts[1], t.counts[1], t.entries[1], t.half_keys[1]))
+
+    def match(self, q: np.ndarray, qlen: np.ndarray):
+        """q: (B, Lq) int8 BC-UMI candidates; returns dict of numpy arrays."""
+        bc, score, status, umi, qpos = _match_jit(
+            jnp.asarray(q), jnp.asarray(qlen), self.refs,
+            jnp.int32(self.ref_len), *self._tables,
+            plan=self.plan, umi_ref_offset=self.spec.umi_ref_offset,
+            umi_len=self.spec.umi_len, as_min=self.spec.as_min,
+            top_k=self.top_k, maxocc=self.maxocc)
+        return {"bc_idx": np.asarray(bc), "score": np.asarray(score),
+                "status": np.asarray(status), "umi": np.asarray(umi),
+                "qpos": np.asarray(qpos)}
+
+    def bc_strings(self, bc_idx: np.ndarray) -> np.ndarray:
+        out = np.full(bc_idx.shape, "", dtype=object)
+        ok = bc_idx >= 0
+        out[ok] = self.barcodes[bc_idx[ok]]
+        return out
