@@ -1,1 +1,1 @@
-from . import barcode  # noqa: F401
+from . import barcode, decon  # noqa: F401
