@@ -1,0 +1,171 @@
+"""SAM/BAM output boundary — pure-python BGZF/BAM writer (htslib-free).
+
+The engine keeps alignments columnar (align/aligner.py AlignmentRecords);
+real SAM/BAM is materialized only at the output boundary for compatibility
+with downstream consumers of the reference's `_genome_tagged.bam`
+(utils.py:801-824, scripts/downstream/*). No pysam/htslib exists in this
+environment, so BGZF blocks are produced with zlib directly.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+# 4-bit base codes of BAM's "=ACMGRSVTWYHKDBN" alphabet for our A,C,G,T,N,PAD
+_SEQ4 = {0: 1, 1: 2, 2: 4, 3: 8, 4: 15, 5: 15}
+_CIGAR_OPS = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6,
+              "=": 7, "X": 8}
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+class BGZFWriter:
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._f = open(path, "wb")
+        self._buf = bytearray()
+
+    def write(self, data: bytes):
+        self._buf += data
+        while len(self._buf) >= 60000:
+            self._flush_block(self._buf[:60000])
+            del self._buf[:60000]
+
+    def _flush_block(self, chunk):
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = co.compress(bytes(chunk)) + co.flush()
+        # BSIZE extra field = total block length - 1
+        # (12B gzip hdr + 6B extra + comp + 8B crc/isize)
+        bsize_m1 = 12 + 6 + len(comp) + 8 - 1
+        header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                  b"\x06\x00" b"\x42\x43" b"\x02\x00" +
+                  struct.pack("<H", bsize_m1))
+        crc = zlib.crc32(bytes(chunk)) & 0xFFFFFFFF
+        self._f.write(header + comp +
+                      struct.pack("<II", crc, len(chunk)))
+
+    def close(self):
+        if self._buf:
+            self._flush_block(self._buf)
+            self._buf = bytearray()
+        self._f.write(BGZF_EOF)
+        self._f.close()
+
+
+def _encode_cigar(cigar: list[tuple[int, str]]) -> bytes:
+    out = b""
+    for n, op in cigar:
+        out += struct.pack("<I", (n << 4) | _CIGAR_OPS[op])
+    return out
+
+
+def _pack_seq(codes: np.ndarray) -> bytes:
+    n = len(codes)
+    out = bytearray((n + 1) // 2)
+    for i in range(n):
+        v = _SEQ4[int(codes[i])]
+        if i % 2 == 0:
+            out[i // 2] = v << 4
+        else:
+            out[i // 2] |= v
+    return bytes(out)
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BAMWriter:
+    """Minimal coordinate-order BAM writer with Z/i tags."""
+
+    def __init__(self, path: str, ref_names: list, ref_lens: list,
+                 extra_header: str = ""):
+        self._w = BGZFWriter(path)
+        text = "@HD\tVN:1.6\tSO:coordinate\n"
+        for n, l in zip(ref_names, ref_lens):
+            text += f"@SQ\tSN:{n}\tLN:{int(l)}\n"
+        text += extra_header
+        hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text.encode()
+        hdr += struct.pack("<i", len(ref_names))
+        for n, l in zip(ref_names, ref_lens):
+            nb = n.encode() + b"\x00"
+            hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", int(l))
+        self._w.write(hdr)
+
+    def write(self, name: str, flag: int, ref_id: int, pos: int, mapq: int,
+              cigar: list, seq_codes: np.ndarray, qual: bytes | None,
+              tags: dict | None = None):
+        nb = name.encode() + b"\x00"
+        cig = _encode_cigar(cigar)
+        seq = _pack_seq(seq_codes)
+        l_seq = len(seq_codes)
+        if qual is None:
+            q = b"\xff" * l_seq
+        else:
+            q = bytes(max(0, c - 33) for c in qual[:l_seq])
+            q += b"\x00" * (l_seq - len(q))
+        tag_b = b""
+        for k, v in (tags or {}).items():
+            if isinstance(v, str):
+                tag_b += k.encode() + b"Z" + v.encode() + b"\x00"
+            else:
+                tag_b += k.encode() + b"i" + struct.pack("<i", int(v))
+        ref_span = sum(n for n, op in cigar if op in "MDN=X") or 1
+        body = struct.pack("<iiBBHHHiiii", ref_id, pos, len(nb), mapq,
+                           _reg2bin(pos, pos + ref_span), len(cigar), flag,
+                           l_seq, -1, -1, 0)
+        body += nb + cig + seq + q + tag_b
+        self._w.write(struct.pack("<i", len(body)) + body)
+
+    def close(self):
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class SAMWriter:
+    """Plain-text SAM (for _trns.sam / _matching.sam artifact parity)."""
+
+    def __init__(self, path: str, ref_names: list, ref_lens: list):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._f = open(path, "w")
+        self._f.write("@HD\tVN:1.6\n")
+        for n, l in zip(ref_names, ref_lens):
+            self._f.write(f"@SQ\tSN:{n}\tLN:{int(l)}\n")
+
+    def write(self, name, flag, ref_name, pos, mapq, cigar_str, seq, qual,
+              tags: dict | None = None):
+        t = "".join(
+            f"\t{k}:{'Z' if isinstance(v, str) else 'i'}:{v}"
+            for k, v in (tags or {}).items())
+        self._f.write(f"{name}\t{flag}\t{ref_name}\t{pos + 1}\t{mapq}\t"
+                      f"{cigar_str}\t*\t0\t0\t{seq}\t{qual}{t}\n")
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

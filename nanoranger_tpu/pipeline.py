@@ -1,0 +1,381 @@
+"""Pipeline CLI: mode orchestration over the device engine.
+
+Flag-compatible with the reference (`pipeline.py:7-34`): --cores --trns_ref
+--genome_ref --infile --outdir --expname --barcodes --split --mode
+--xpecies (argparse prefix abbreviations --c/--i/--o/--e/--m/--t/--g/--b
+work as in the reference README). `--split`/`--cores` are accepted but
+ignored: sharding is replaced by streamed device batches (and, multi-chip,
+by the jax.sharding mesh in parallel/), not by seqkit+Pool fan-out.
+
+Artifacts keep the reference's names so downstream consumers can switch:
+  {sample}_deconcat.fastq.gz / _VDJ.fastq.gz     subreads (MiXCR input)
+  {sample}_BCUMI.fasta.gz                        barcode candidates
+  {sample}_eds.csv / _eds_names.csv / _polyA.fasta.gz
+  {sample}_barcode_scores.csv/.pdf, _knee*.pdf
+  {sample}_bcumi_dedup.csv
+  {sample}_genome_tagged.bam (CB/UB/XT tags)
+  {sample}_bc_read_count.csv, _quads.json, _gex.mtx.gz (+sidecars)
+  {sample}_clones_filtered.csv, _cloneID_filtered.csv.gz, _clone_bcumi.csv.gz
+
+MiXCR stays an external boundary tool (SURVEY.md §2.2): when its exports
+(_clones.txt.gz/_cloneID.txt.gz) are present in the outdir the clone joins
+run; otherwise the pipeline emits MiXCR's input fastq and reports what to
+run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+from . import chemistry
+from .align.aligner import PanelAligner
+from .align.index import PanelIndex
+from .io import fastq, whitelist
+from .io.bam import BAMWriter
+from .io.encode import decode, encode_batch
+from .io.fasta import FastaWriter
+from .runtime.native_lib import banded_align_batch
+from .stages import clones as clone_stage
+from .stages import counting
+from .stages.barcode import ACCEPT, BAD_UMI, LOW_AS, BarcodeMatcher
+from .stages.decon import run_decon
+
+DATA_DIR = os.environ.get(
+    "NANORANGER_DATA",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "data"))
+
+MODE_DEFAULTS = {  # (trns_ref, genome_ref, barcodes) — reference pipeline.py
+    "5p10XGEX": ("panel_MT_trns.fa", "MT_chr.fa", "737K-august-2016.txt.gz"),
+    "5p10XTCR": ("TR_V_human.fa", None, "737K-august-2016.txt.gz"),
+    "RTX": ("TR_V_human.fa", None, None),
+    "3pXCR_slideseq": ("XR_C_mouse.fa", None, "slideseq.matched.barcodes.tsv.gz"),
+    "3p10XTCR": ("TRab_C_mouse.fa", None, "slideseq.matched.barcodes.tsv.gz"),
+    "3p10XTCR_nuc": ("TR_V_human.fa", None, "3M-february-2018.txt.gz"),
+    "3p10XGEX": ("panel_MT_trns.fa", None, "3M-february-2018.txt.gz"),
+}
+
+
+def log(msg: str):
+    print(f"[nanoranger-tpu] {msg}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+
+class DeconRun:
+    """Streamed align+decon over an input fastq, accumulating BC-UMI
+    candidates and writing subread/BCUMI artifacts."""
+
+    def __init__(self, spec, infile, outdir, sample, trns_ref,
+                 batch_size=2048, max_len=4096):
+        self.spec = spec
+        t0 = time.time()
+        self.index = PanelIndex.from_fasta(trns_ref)
+        self.aligner = PanelAligner(self.index)
+        sub_kind = "VDJ" if spec.name in (
+            "3pXCR_slideseq", "3p10XTCR", "3p10XTCR_nuc") else "deconcat"
+        self.sub_path = f"{outdir}/{sample}_{sub_kind}.fastq.gz"
+        self.bcumi_path = f"{outdir}/{sample}_BCUMI.fasta.gz"
+        self.bcumi_names: list = []
+        self.bcumi_seqs: list = []
+        self.eds_rows: list = []
+        self.raw_counts: dict = {}
+        self.polyA: list = []
+        n_reads = n_sub = 0
+        fsub = fastq.FastqWriter(self.sub_path)
+        fbc = FastaWriter(self.bcumi_path)
+        for batch in fastq.iter_batches(infile, batch_size, max_len=max_len):
+            rec = self.aligner.align(batch.codes, batch.lengths)
+            out = run_decon(spec, batch.codes, batch.lengths, batch.names,
+                            batch.quals, rec, self.index.names, sample)
+            for nm, sq, ql in zip(out.sub_names, out.sub_seqs, out.sub_quals):
+                fsub.write(nm, sq, ql)
+            for nm, sq in zip(out.bcumi_names, out.bcumi_seqs):
+                fbc.write(nm, sq)
+            self.bcumi_names.extend(out.bcumi_names)
+            self.bcumi_seqs.extend(out.bcumi_seqs)
+            self.eds_rows.extend(out.eds_rows)
+            self.polyA.extend(out.polyA)
+            for k, v in out.raw_bc_counts.items():
+                self.raw_counts[k] = self.raw_counts.get(k, 0) + v
+            n_reads += len(batch)
+            n_sub += len(out.sub_names)
+        fsub.close()
+        fbc.close()
+        self.n_reads = n_reads
+        self.n_sub = n_sub
+        log(f"align+decon: {n_reads} reads → {n_sub} subreads, "
+            f"{len(self.bcumi_seqs)} BC-UMI candidates "
+            f"({time.time() - t0:.1f}s)")
+
+    def write_eds(self, outdir, sample):
+        if self.spec.name == "5p10XTCR":
+            pd.DataFrame(np.array(self.eds_rows, dtype=object)).to_csv(
+                f"{outdir}/{sample}_eds.csv")
+        elif self.spec.name == "3p10XTCR":
+            v, c = np.unique(np.asarray(self.eds_rows), return_counts=True)
+            df = pd.DataFrame({0: v, 1: c}).sort_values(1, ascending=False)
+            df.to_csv(f"{outdir}/{sample}_eds.csv")
+        elif self.spec.name == "3pXCR_slideseq":
+            pd.DataFrame({0: [n for n, _ in self.polyA],
+                          1: [0] * len(self.polyA)}).to_csv(
+                f"{outdir}/{sample}_eds_names.csv", index=None)
+            with FastaWriter(f"{outdir}/{sample}_polyA.fasta.gz") as f:
+                for n, s in self.polyA:
+                    f.write(n, s)
+
+
+def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
+                   batch=4096):
+    """Whitelist match of accumulated candidates → per-read assignment df
+    + score histogram artifacts."""
+    t0 = time.time()
+    m = BarcodeMatcher(bcs_array, spec.barcode)
+    Lq = 96
+    all_res = {k: [] for k in ("bc_idx", "score", "status", "umi")}
+    for s in range(0, len(seqs), batch):
+        q, qlen = encode_batch(seqs[s:s + batch], max_len=Lq)
+        r = m.match(q, qlen)
+        for k in all_res:
+            all_res[k].append(r[k])
+    res = {k: np.concatenate(v) if v else np.zeros(0, np.int32)
+           for k, v in all_res.items()}
+    status = res["status"]
+    acc = status == ACCEPT
+    # histogram over reads that would appear with flag==0 in the STAR SAM
+    vis = acc | (status == LOW_AS) | (status == BAD_UMI)
+    scores_df = counting.barcode_scores_table(res["score"][vis])
+    scores_df.columns = ["score", "count"]
+    scores_df.to_csv(f"{outdir}/{sample}_barcode_scores.csv", index=None)
+    counting.save_score_plot(f"{outdir}/{sample}_barcode_scores.pdf",
+                             scores_df, 8)
+    umi_strs = ["" if not a else decode(u)
+                for a, u in zip(acc, res["umi"])]
+    df = pd.DataFrame({
+        "name": names,
+        "bc": m.bc_strings(res["bc_idx"]),
+        "umi": umi_strs,
+        "score": res["score"],
+        "status": status,
+    })
+    log(f"barcode match: {acc.sum()}/{len(seqs)} accepted vs "
+        f"{len(bcs_array)} whitelist ({time.time() - t0:.1f}s)")
+    return df, res
+
+
+def dedup_outputs(spec, df, res, outdir, sample, knee_umi_name="knee"):
+    """_bcumi_dedup.csv + knee plot(s) (process_matching_* second half)."""
+    acc = df[df.status == ACCEPT]
+    umi_codes = res["umi"][(df.status == ACCEPT).to_numpy()]
+    table = counting.umi_dedup_table(acc.bc.to_numpy(), umi_codes)
+    table.to_csv(f"{outdir}/{sample}_bcumi_dedup.csv")
+    counting.save_knee_plot(f"{outdir}/{sample}_{knee_umi_name}.pdf",
+                            table.umi_cnt.to_numpy(), "log10 UMI counts")
+    if knee_umi_name != "knee":
+        counting.save_knee_plot(f"{outdir}/{sample}_knee_reads.pdf",
+                                table.read_cnt.to_numpy(), "log10 read counts")
+    return table
+
+
+def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=2048):
+    """Align subreads to the genome, write the CB/UB/XT-tagged BAM
+    (reference align_genome.sh + utils.py:801-827)."""
+    t0 = time.time()
+    gindex = PanelIndex.from_fasta(genome_ref)
+    galigner = PanelAligner(gindex)
+    sub_path = f"{outdir}/{sample}_deconcat.fastq.gz"
+    rows = []
+    for batch in fastq.iter_batches(sub_path, batch_size, max_len=4096):
+        rec = galigner.align(batch.codes, batch.lengths)
+        prim = rec.flag < 20                     # utils.py:812
+        for r in np.where(prim)[0]:
+            i = int(rec.read_idx[r])
+            name = batch.names[i]
+            if name not in tag_map:
+                continue
+            rows.append((int(rec.ref_id[r]), int(rec.tstart[r]),
+                         int(rec.tend[r]), int(rec.qstart[r]),
+                         int(rec.qend[r]), int(rec.flag[r]), name,
+                         batch.codes[i, :batch.lengths[i]].copy(),
+                         batch.quals[i]))
+    rows.sort(key=lambda x: (x[0], x[1]))
+    # base-level CIGARs through the native banded aligner
+    from .io.encode import COMPLEMENT
+    q_segs, t_segs = [], []
+    for (rid, ts, te, qs, qe, flag, name, codes, qual) in rows:
+        if flag & 16:
+            stored = COMPLEMENT[codes][::-1]
+            sqs, sqe = len(codes) - qe, len(codes) - qs
+        else:
+            stored = codes
+            sqs, sqe = qs, qe
+        q_segs.append(stored[sqs:sqe])
+        t_segs.append(gindex.seq_codes[rid][ts:te])
+    cigars, scores, nms = banded_align_batch(q_segs, t_segs, band=160)
+
+    bam_path = f"{outdir}/{sample}_genome_tagged.bam"
+    all_trns = []
+    with BAMWriter(bam_path, gindex.names,
+                   [len(s) for s in gindex.seq_codes]) as w:
+        for k, (rid, ts, te, qs, qe, flag, name, codes, qual) in enumerate(rows):
+            cb, ub, xt = tag_map[name]
+            if flag & 16:
+                stored = COMPLEMENT[codes][::-1]
+                squal = qual[::-1]
+                sqs, sqe = len(codes) - qe, len(codes) - qs
+            else:
+                stored, squal = codes, qual
+                sqs, sqe = qs, qe
+            cig = []
+            if sqs:
+                cig.append((sqs, "S"))
+            import re
+            cig += [(int(n), op) for n, op in
+                    re.findall(r"(\d+)([=XIDN])", cigars[k])]
+            tail = len(stored) - sqe
+            if tail:
+                cig.append((tail, "S"))
+            w.write(name, flag, rid, ts, 60, cig, stored, squal,
+                    tags={"NM": int(nms[k]), "AS": int(scores[k]),
+                          "CB": cb, "UB": ub, "XT": xt})
+            all_trns.append(xt)
+    counting.trans_counts_table(all_trns).to_csv(
+        f"{outdir}/{sample}_trns_ct.csv", index=None)
+    log(f"genome stage: {len(rows)} tagged records → {bam_path} "
+        f"({time.time() - t0:.1f}s)")
+
+
+def _load_whitelist(path, spec_name):
+    min_genes = 4 if spec_name == "3p10XTCR_nuc" else 20
+    return whitelist.load(path, min_genes=min_genes)
+
+
+def _tag_map_from_df(df):
+    """name → (CB, UB, XT) for accepted reads; XT parsed from the decon
+    read name (trns = name.split('_')[4], utils.py:745)."""
+    out = {}
+    for name, bc, umi, status in zip(df.name, df.bc, df.umi, df.status):
+        if status != ACCEPT:
+            continue
+        parts = name.split("_")
+        trns = parts[4] if len(parts) > 4 else ""
+        out[name] = (bc, umi, trns)
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
+                 barcodes=None, xpecies=None, batch_size=2048):
+    os.makedirs(outdir, exist_ok=True)
+    spec = chemistry.get(mode)
+    dflt = MODE_DEFAULTS[mode]
+    trns_ref = trns_ref or os.path.join(DATA_DIR, dflt[0])
+    if dflt[1] and not genome_ref:
+        genome_ref = os.path.join(DATA_DIR, dflt[1])
+    if dflt[2] and not barcodes:
+        barcodes = os.path.join(DATA_DIR, dflt[2])
+
+    run = DeconRun(spec, infile, outdir, sample, trns_ref, batch_size)
+    run.write_eds(outdir, sample)
+
+    if mode == "RTX":
+        log("RTX: deconcat written; run MiXCR on "
+            f"{run.sub_path} for clonotypes")
+        return
+
+    # whitelist
+    if mode == "3p10XGEX":
+        pd.Series(run.raw_counts, name="read_count").to_csv(
+            f"{outdir}/{sample}_bc_read_count.csv")
+        if barcodes and os.path.isfile(barcodes):
+            bcs = whitelist.data_driven(run.raw_counts, barcodes)
+        else:
+            log("WARNING: master whitelist missing; using observed "
+                "barcodes with count>20 (reference requires "
+                "3M-february-2018.txt.gz)")
+            bcs = np.asarray([b for b, c in run.raw_counts.items()
+                              if c > 20 and len(b) == 16 and "N" not in b
+                              and "." not in b])
+    else:
+        bcs = _load_whitelist(barcodes, mode)
+    if len(bcs) == 0:
+        log("no whitelist barcodes — stopping after decon")
+        return
+
+    df, res = match_barcodes(spec, bcs, run.bcumi_names, run.bcumi_seqs,
+                             outdir, sample)
+
+    if mode == "5p10XGEX":
+        dedup_outputs(spec, df, res, outdir, sample)
+        if genome_ref and os.path.isfile(genome_ref):
+            genome_stage(spec, outdir, sample, genome_ref,
+                         _tag_map_from_df(df))
+    elif mode in ("5p10XTCR", "3p10XTCR_nuc"):
+        dedup_outputs(spec, df, res, outdir, sample, knee_umi_name="knee_UMI")
+        if clone_stage.have_mixcr_outputs(sample, outdir):
+            _, cloneID = clone_stage.clone_filt_5p10X(sample, outdir)
+            acc = df[df.status == ACCEPT]
+            clone_stage.clone_bcumi_join(
+                cloneID, acc.name.tolist(), acc.bc.to_numpy(),
+                acc.umi.tolist(), f"{outdir}/{sample}_clone_bcumi.csv.gz")
+        else:
+            log(f"MiXCR outputs absent; run mixcr on {run.sub_path} then "
+                "re-run for _clone_bcumi")
+    elif mode in ("3pXCR_slideseq", "3p10XTCR"):
+        if clone_stage.have_mixcr_outputs(sample, outdir):
+            _, cloneID = clone_stage.clone_filt_slideseq(sample, outdir)
+            acc = df[df.status == ACCEPT]
+            clone_stage.clone_bcumi_join(
+                cloneID, acc.name.tolist(), acc.bc.to_numpy(),
+                acc.umi.tolist(), f"{outdir}/{sample}_clone_bcumi.csv.gz",
+                clone_first=True)
+        else:
+            log(f"MiXCR outputs absent; run mixcr on {run.sub_path} then "
+                "re-run for _clone_bcumi")
+    elif mode == "3p10XGEX":
+        acc = df[df.status == ACCEPT]
+        umi_codes = res["umi"][(df.status == ACCEPT).to_numpy()]
+        trns = [n.split("/ccs_")[-1].split("_") for n in acc.name]
+        trns = ["_".join(t[3:]) if len(t) > 3 else "" for t in trns]
+        trns = [t.split("|")[-1].split("_")[0] if "|" in t else t
+                for t in trns]                          # utils.py:1483-1486
+        with gzip.open(f"{outdir}/{sample}_quads.json.gz", "wt") as f:
+            json.dump(counting.quads_dict(acc.bc.to_numpy(), umi_codes,
+                                          trns), f)
+        genes, cells, cnts = counting.count_matrix(
+            acc.bc.to_numpy(), umi_codes, np.asarray(trns, dtype=object))
+        counting.write_mtx(f"{outdir}/{sample}", genes, cells, cnts)
+        log(f"count matrix: {len(genes)} genes × {len(cells)} cells, "
+            f"{len(cnts)} nonzeros")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="nanoranger-tpu")
+    p.add_argument("--cores", type=str, default=None)   # accepted, unused
+    p.add_argument("--trns_ref", type=str)
+    p.add_argument("--genome_ref", type=str)
+    p.add_argument("--infile", type=str, required=True)
+    p.add_argument("--outdir", type=str, required=True)
+    p.add_argument("--expname", type=str, required=True)
+    p.add_argument("--barcodes", type=str)
+    p.add_argument("--split", default=False, action="store_true")
+    p.add_argument("--mode", type=str, required=True,
+                   choices=chemistry.names())
+    p.add_argument("--xpecies", type=str)
+    p.add_argument("--batch_size", type=int, default=2048)
+    a = p.parse_args(argv)
+    run_pipeline(a.mode, a.infile, a.outdir, a.expname, a.trns_ref,
+                 a.genome_ref, a.barcodes, a.xpecies, a.batch_size)
+
+
+if __name__ == "__main__":
+    main()
