@@ -1,0 +1,169 @@
+"""Fully-jitted single-dispatch pipeline step: reads → barcode/UMI/gene.
+
+This is the production fast path (and the bench/graft flagship): one XLA
+computation fusing seed→chain→chain-extraction→flank-scan→BC-UMI slice→
+whitelist match→counts, with no host round-trips. The streamed pipeline
+(pipeline.py) uses the host chain extractor for full record fidelity
+(supplementary flags, BAM emission); this step keeps everything on device
+with top-S chains per read.
+
+Device chain extraction: parent pointers from the chain DP are resolved to
+chain roots by pointer doubling; per-root scores via scatter-max; top-S
+roots become alignment slots with masked span reductions; greedy query-
+overlap suppression (mask level 0.5) mirrors minimap2 primary selection.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..align.aligner import (MIN_CHAIN_CNT, MIN_CHAIN_SCORE, seed_and_chain)
+from ..align.index import STRAND_OFFSET, PanelIndex
+from ..align.minimizers import K
+from ..chemistry import ChemistrySpec
+from ..io.encode import COMPLEMENT, PAD, encode
+from ..ops.edit_distance import hw_locate
+from ..stages.barcode import ACCEPT, BarcodeMatcher, _match_jit
+
+MASK_LEVEL = 0.5
+
+
+def _device_records(chain_out, ref_offset, lengths, S: int):
+    """Top-S chains per read as fixed slots.
+
+    Returns dict of (B, S): ok, strand, qstart, qend (original-read coords),
+    tstart_g, tend_g (global t), ref_id."""
+    t, q, qpos = chain_out["t"], chain_out["q"], chain_out["qpos"]
+    strand, valid = chain_out["strand"], chain_out["valid"]
+    f, parent = chain_out["f"], chain_out["parent"]
+    B, A = t.shape
+
+    iota = jnp.arange(A, dtype=jnp.int32)[None, :]
+    lab = jnp.where(parent >= 0, parent, iota)
+    steps = int(np.ceil(np.log2(max(A, 2))))
+    for _ in range(steps):
+        lab = jnp.take_along_axis(lab, lab, axis=1)
+
+    fv = jnp.where(valid, f, -jnp.inf)
+    root_f = jnp.full((B, A), -jnp.inf).at[
+        jnp.arange(B)[:, None], lab].max(fv)
+    root_cnt = jnp.zeros((B, A), jnp.int32).at[
+        jnp.arange(B)[:, None], lab].add(valid.astype(jnp.int32))
+    good = (root_f >= MIN_CHAIN_SCORE) & (root_cnt >= MIN_CHAIN_CNT)
+    top_f, top_root = jax.lax.top_k(jnp.where(good, root_f, -jnp.inf), S)
+
+    out = {"score": top_f}
+    member = lab[:, None, :] == top_root[:, :, None]       # (B, S, A)
+    member = member & valid[:, None, :]
+    qpos_l = jnp.where(member, qpos[:, None, :], 1 << 30)
+    qpos_h = jnp.where(member, qpos[:, None, :] + K, -1)
+    t_base = jnp.where(strand == 1, t - STRAND_OFFSET, t)
+    t_l = jnp.where(member, t_base[:, None, :], 1 << 30)
+    t_h = jnp.where(member, t_base[:, None, :] + K, -1)
+    qstart = jnp.min(qpos_l, axis=2)
+    qend = jnp.max(qpos_h, axis=2)
+    tstart = jnp.min(t_l, axis=2)
+    tend = jnp.max(t_h, axis=2)
+    st = jnp.max(jnp.where(member, strand[:, None, :], 0), axis=2)
+    ok = jnp.isfinite(top_f)
+
+    # greedy primary/supplementary suppression by query overlap
+    keep = jnp.ones((B, S), bool)
+    for s in range(1, S):
+        ov = jnp.zeros((B,), jnp.int32)
+        for s2 in range(s):
+            lo = jnp.maximum(qstart[:, s], qstart[:, s2])
+            hi = jnp.minimum(qend[:, s], qend[:, s2])
+            ov = jnp.maximum(ov, jnp.where(keep[:, s2], hi - lo, 0))
+        span = jnp.maximum(qend[:, s] - qstart[:, s], 1)
+        keep = keep.at[:, s].set(ov < (MASK_LEVEL * span).astype(jnp.int32))
+    ok = ok & keep
+
+    ref_id = jnp.searchsorted(ref_offset, tstart, side="right") - 1
+    out.update(ok=ok, strand=st, qstart=qstart, qend=qend,
+               tstart_g=tstart, tend_g=tend, ref_id=ref_id)
+    return out
+
+
+def build_device_step(spec: ChemistrySpec, index: PanelIndex,
+                      matcher: BarcodeMatcher, S: int = 2,
+                      max_minimizers: int = 128):
+    """Single-chip jitted step for 5'-style chemistries (bcumi_rule 'slice').
+
+    Returns step(codes (B, L) int8, lengths (B,) int32) →
+      dict(bc_idx (B,S), status, score, umi (B,S,umi_len), rec_ok, counts
+      (N_bc,)). counts = accepted reads per barcode (psum-able)."""
+    assert spec.bcumi_rule == "slice", "device step covers 5' modes"
+    from ..align.aligner import prepare_index_arrays
+    idx_h, idx_t = prepare_index_arrays(index)
+    ref_offset = jnp.asarray(index.ref_offset.astype(np.int32))
+    f = spec.flank
+    pat = jnp.asarray(encode(spec.scan.pattern))
+    tables = matcher._tables
+    n_bc = len(matcher.barcodes)
+    Lc = 96
+
+    @jax.jit
+    def step(codes, lengths):
+        B, L = codes.shape
+        chain_out = seed_and_chain(codes, lengths, idx_h, idx_t,
+                                   max_minimizers=max_minimizers)
+        rec = _device_records(chain_out, ref_offset, lengths, S)
+        R = B * S
+        read_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
+        strand = rec["strand"].reshape(R)
+        qstart = rec["qstart"].reshape(R)
+        qend = rec["qend"].reshape(R)
+        ok = rec["ok"].reshape(R)
+        rlen = lengths[read_idx]
+
+        # stored-orientation flank window (same math as stages/decon.py)
+        s_qstart = jnp.where(strand == 1, rlen - qend, qstart)
+        s_qend = jnp.where(strand == 1, rlen - qstart, qend)
+        a = s_qstart if f.anchor == "qstart" else s_qend
+        wstart = jnp.maximum(a + f.lo, 0)
+        wend = jnp.minimum(a + f.hi, rlen)
+        wlen = jnp.maximum(wend - wstart, 0)
+        Wmax = f.hi - f.lo
+        j = jnp.arange(Wmax, dtype=jnp.int32)[None, :]
+        src = wstart[:, None] + j
+        pos = jnp.where(strand[:, None] == 1, rlen[:, None] - 1 - src, src)
+        base = codes[read_idx[:, None], jnp.clip(pos, 0, L - 1)]
+        comp = jnp.asarray(COMPLEMENT)
+        base = jnp.where(strand[:, None] == 1, comp[base], base)
+        window = jnp.where((j < wlen[:, None]) & ok[:, None], base, PAD)
+
+        ed, gs, ge = hw_locate(pat, window, wlen, spec.scan.k,
+                               wildcard=spec.scan.n_wildcard,
+                               pick_last=spec.scan.pick_last)
+        hit = (ed >= 0) & (ed < spec.scan.max_ed_exclusive) & ok
+
+        # bcumi = window[gs:ge] (inclusive-end slice convention)
+        jj = jnp.arange(Lc, dtype=jnp.int32)[None, :]
+        bidx = jnp.clip(gs[:, None] + jj, 0, Wmax - 1)
+        blen = jnp.where(hit, jnp.clip(ge - gs, 0, Lc), 0)
+        cand = jnp.where(jj < blen[:, None],
+                         jnp.take_along_axis(window, bidx, axis=1), PAD)
+
+        bc_idx, score, status, umi, qpos = _match_jit(
+            cand.astype(jnp.int8), blen, matcher.refs,
+            jnp.int32(matcher.ref_len), *tables,
+            plan=matcher.plan, umi_ref_offset=spec.barcode.umi_ref_offset,
+            umi_len=spec.barcode.umi_len, as_min=spec.barcode.as_min,
+            top_k=matcher.top_k, maxocc=matcher.maxocc)
+        status = jnp.where(hit, status, 5)          # 5 = no adapter
+        accepted = status == ACCEPT
+        counts = jnp.zeros((n_bc,), jnp.int32).at[
+            jnp.clip(bc_idx, 0, n_bc - 1)].add(accepted.astype(jnp.int32))
+        return {"bc_idx": bc_idx.reshape(B, S),
+                "status": status.reshape(B, S),
+                "score": score.reshape(B, S),
+                "umi": umi.reshape(B, S, -1),
+                "rec_ok": ok.reshape(B, S),
+                "counts": counts}
+
+    return step
