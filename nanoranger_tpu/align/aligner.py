@@ -39,6 +39,10 @@ import numpy as np
 
 from .index import STRAND_OFFSET, PanelIndex
 from .minimizers import K, sketch_batch
+from .minimizers import MASK as _HASH_MASK
+
+HASH_BITS = 30
+PREFIX_BITS = 20
 
 MAX_GAP = 5000       # minimap2 -g default band for map-ont chaining
 BANDWIDTH = 500      # minimap2 -r 500 (map-ont)
@@ -51,31 +55,36 @@ NEGF = jnp.float32(-1e18)
 
 
 @functools.partial(jax.jit, static_argnames=("max_minimizers", "occ_cap"))
-def seed_and_chain(codes, lengths, idx_hashes, idx_t, max_minimizers=256,
-                   occ_cap=OCC_CAP):
+def seed_and_chain(codes, lengths, prefix_start, prefix_count, planes,
+                   max_minimizers=256, occ_cap=OCC_CAP):
     """Device part: returns per-read sorted anchors + chain DP results.
 
-    idx_hashes: (A,) uint32 sorted; idx_t: (A,) int32 global t coords
-    (already strand-partitioned by caller convention: the lookup XORs the
-    read-minimizer strand with the index strand, so idx arrays come in
-    [strand0 | strand1] pairing — see prepare_index_arrays).
+    Anchor lookup is MXU-first (ops/mxu_lookup.py): minimizer hashes index
+    a direct-address 2^PREFIX_BITS bucket table (two small elementwise
+    gathers), and each bucket's occurrence window of (global-t, hash)
+    entries is fetched with one fused one-hot int8 matmul; gathered hashes
+    are compared against the query hash to reject prefix collisions.
 
     Returns dict of (B, A_tot) arrays: t, q (chain coords), qpos (original
     read position), strand, valid, f (chain score), parent.
     """
+    from ..ops.mxu_lookup import windowed_lookup
     B, L = codes.shape
     hq, qpos, qstrand, _ = sketch_batch(codes, lengths, max_minimizers)
     M = hq.shape[1]
 
-    lo = jnp.searchsorted(idx_hashes, hq, side="left")
-    hi = jnp.searchsorted(idx_hashes, hq, side="right")
-    occ = jnp.minimum(hi - lo, occ_cap)
+    p = (hq >> jnp.uint32(HASH_BITS - PREFIX_BITS)).astype(jnp.int32)
+    p = jnp.clip(p, 0, prefix_start.shape[0] - 1)
+    start = prefix_start[p]                                   # (B, M)
+    cnt = prefix_count[p]
+    win_t, win_h = windowed_lookup(start.reshape(-1), planes, 2, occ_cap)
+    t_idx = win_t.reshape(B, M, occ_cap)
+    w_hash = win_h.reshape(B, M, occ_cap).astype(jnp.uint32)
 
     o = jnp.arange(occ_cap, dtype=jnp.int32)[None, None, :]
-    ent = lo[:, :, None] + o                                  # (B, M, occ)
-    ok = (o < occ[:, :, None]) & (qpos[:, :, None] >= 0)
-    ent_cl = jnp.clip(ent, 0, idx_t.shape[0] - 1)
-    t_idx = idx_t[ent_cl]                                     # (B, M, occ)
+    ok = (o < jnp.minimum(cnt, occ_cap)[:, :, None]) \
+        & (qpos[:, :, None] >= 0) \
+        & (w_hash == hq[:, :, None])
     # index t encodes (ref offset + pos) and index strand in bit STRAND_OFFSET
     idx_strand = (t_idx >= STRAND_OFFSET).astype(jnp.int32)
     t_base = jnp.where(idx_strand == 1, t_idx - STRAND_OFFSET, t_idx)
@@ -93,28 +102,47 @@ def seed_and_chain(codes, lengths, idx_hashes, idx_t, max_minimizers=256,
     strand = jnp.where(ok, rel_strand, 0).reshape(B, A_raw)
     valid = ok.reshape(B, A_raw)
 
-    # sort by (t, q): two stable argsorts; invalid anchors (t=2e9) sink to
-    # the tail, so truncating to A keeps the valid ones (capped)
-    ord1 = jnp.argsort(q, axis=1, stable=True)
-    t1 = jnp.take_along_axis(t, ord1, axis=1)
-    ord2 = jnp.argsort(t1, axis=1, stable=True)
-    order = jnp.take_along_axis(ord1, ord2, axis=1)
+    # lexicographic (t, q) sort carrying all payloads in ONE lax.sort —
+    # TPU sorts are fast; applying a permutation via take_along_axis is a
+    # slow gather, so never materialize an argsort. Invalid anchors
+    # (t=2e9) sink to the tail; truncating to A keeps the valid ones.
+    t, q, qp_flat, strand, valid_i = jax.lax.sort(
+        (t, q, qp_flat, strand, valid.astype(jnp.int32)),
+        dimension=1, num_keys=2, is_stable=True)
     A = min(A_raw, 4 * max_minimizers)
-    order = order[:, :A]
-    t = jnp.take_along_axis(t, order, axis=1)
-    q = jnp.take_along_axis(q, order, axis=1)
-    qp_flat = jnp.take_along_axis(qp_flat, order, axis=1)
-    strand = jnp.take_along_axis(strand, order, axis=1)
-    valid = jnp.take_along_axis(valid, order, axis=1)
+    t = t[:, :A]
+    q = q[:, :A]
+    qp_flat = qp_flat[:, :A]
+    strand = strand[:, :A]
+    valid = valid_i[:, :A].astype(bool)
 
-    # chain DP with a bounded predecessor window (minimap2-style): only the
-    # G most recent anchors in (t, q) order can precede — O(A·G) not O(A²)
+    f, parent, root = chain_dp(t, q, valid)
+    return {"t": t, "q": q, "qpos": qp_flat, "strand": strand,
+            "valid": valid, "f": f, "parent": parent, "root": root}
+
+
+def chain_dp(t, q, valid):
+    """Windowed chain DP dispatch: Pallas kernel on TPU, XLA scan on CPU.
+    Returns (f, parent, root) — roots are propagated inside the DP so no
+    pointer-chasing pass is needed downstream."""
+    if jax.default_backend() != "cpu":
+        from ..ops.pallas_chain import chain_dp_pallas
+        return chain_dp_pallas(t, q, valid, K, MAX_GAP, BANDWIDTH)
+    return _chain_dp_xla(t, q, valid)
+
+
+@jax.jit
+def _chain_dp_xla(t, q, valid):
+    # bounded predecessor window (minimap2-style): only the G most recent
+    # anchors in (t, q) order can precede — O(A·G) not O(A²)
+    B, A = t.shape
     G = 64
     tf = jnp.pad(t.astype(jnp.float32), ((0, 0), (G, 0)),
                  constant_values=-3e9)
     qf = jnp.pad(q.astype(jnp.float32), ((0, 0), (G, 0)))
 
-    def step(f, i):
+    def step(carry, i):
+        f, roots = carry
         # window = padded columns [i, i+G) == original [i-G, i)
         wt = jax.lax.dynamic_slice_in_dim(tf, i, G, axis=1)
         wq = jax.lax.dynamic_slice_in_dim(qf, i, G, axis=1)
@@ -133,29 +161,53 @@ def seed_and_chain(codes, lengths, idx_hashes, idx_t, max_minimizers=256,
             (dd <= BANDWIDTH) & (wf > NEGF / 2)
         cand = jnp.where(okj, cand, NEGF)
         best = jnp.max(cand, axis=1, keepdims=True)
-        bestg = jnp.argmax(cand, axis=1).astype(jnp.int32)[:, None]
+        # last argmax (matches the Pallas kernel's tie-break)
+        sub = jnp.arange(G, dtype=jnp.int32)[None, :]
+        bestg = jnp.max(jnp.where(cand == best, sub, -1), axis=1)[:, None]
         fi = jnp.maximum(float(K), best)
-        par = jnp.where(best > float(K), i - G + bestg, -1)
+        extend = best > float(K)
+        par = jnp.where(extend, i - G + bestg, -1)
+        rw = jax.lax.dynamic_slice_in_dim(roots, i, G, axis=1)
+        root_from_par = jnp.max(jnp.where(sub == bestg, rw, -1), axis=1,
+                                keepdims=True)
+        root = jnp.where(extend, root_from_par, i)
         fi = jnp.where(vi, fi, NEGF)
         par = jnp.where(vi, par, -1)
+        root = jnp.where(vi, root, -1)
         f = jax.lax.dynamic_update_slice_in_dim(f, fi, i + G, axis=1)
-        return f, par[:, 0]
+        roots = jax.lax.dynamic_update_slice_in_dim(roots, root, i + G, axis=1)
+        return (f, roots), (par[:, 0], root[:, 0])
 
     f0 = jnp.full((B, A + G), NEGF, jnp.float32)
-    f_final, parents = jax.lax.scan(step, f0, jnp.arange(A))
+    r0 = jnp.full((B, A + G), -1, jnp.int32)
+    (f_final, _), (parents, roots) = jax.lax.scan(step, (f0, r0),
+                                                  jnp.arange(A))
     f = f_final[:, G:]
     parent = jnp.transpose(parents)  # (B, A)
-    return {"t": t, "q": q, "qpos": qp_flat, "strand": strand,
-            "valid": valid, "f": f, "parent": parent}
+    root = jnp.transpose(roots)
+    return f, parent, root
 
 
-def prepare_index_arrays(index: PanelIndex):
-    """Flatten the panel index into device arrays; index strand is encoded
-    into the t coordinate's STRAND_OFFSET half-space."""
+def prepare_index_arrays(index: PanelIndex, occ_cap: int = OCC_CAP):
+    """Flatten the panel index into MXU-lookup device arrays.
+
+    Index strand is encoded into the t coordinate's STRAND_OFFSET
+    half-space; entries are bucketed by the top PREFIX_BITS of the hash
+    into direct-address (start, count) tables, with (t, hash) occurrence
+    windows packed as byte planes for the fused one-hot matmul gather."""
+    from ..ops.mxu_lookup import build_window_planes
     t = (index.ref_offset[index.ref_id] + index.tpos).astype(np.int64)
     t = t + index.strand.astype(np.int64) * STRAND_OFFSET
     assert t.max(initial=0) < 2_000_000_000, "panel too large for int32 t"
-    return (jnp.asarray(index.hashes), jnp.asarray(t.astype(np.int32)))
+    h = index.hashes.astype(np.uint32)                 # sorted ascending
+    pref = (h >> np.uint32(HASH_BITS - PREFIX_BITS)).astype(np.int64)
+    space = 1 << PREFIX_BITS
+    counts = np.bincount(pref, minlength=space).astype(np.int32)
+    starts = np.zeros(space, np.int32)
+    np.cumsum(counts[:-1], out=starts[1:])
+    planes = build_window_planes([t.astype(np.int32),
+                                  h.astype(np.int32)], occ_cap)
+    return (jnp.asarray(starts), jnp.asarray(counts), jnp.asarray(planes))
 
 
 @dataclasses.dataclass
@@ -188,13 +240,11 @@ def extract_records(chain_out: dict, index: PanelIndex,
     strand = np.asarray(chain_out["strand"])
     valid = np.asarray(chain_out["valid"])
     f = np.asarray(chain_out["f"])
-    parent = np.asarray(chain_out["parent"])
     B, A = t.shape
 
-    # root labeling by pointer doubling
-    lab = np.where(parent >= 0, parent, np.arange(A)[None, :])
-    for _ in range(int(np.ceil(np.log2(max(A, 2))))):
-        lab = np.take_along_axis(lab, lab, axis=1)
+    # chain labels come from the DP itself (root propagation in chain_dp)
+    lab = np.asarray(chain_out["root"])
+    lab = np.where(lab >= 0, lab, np.arange(A)[None, :])
 
     flat_lab = (np.arange(B)[:, None] * A + lab).ravel()
     size = B * A
@@ -292,7 +342,7 @@ class PanelAligner:
         self.index = index
         self.max_minimizers = max_minimizers
         self.occ_cap = occ_cap
-        self._h, self._t = prepare_index_arrays(index)
+        self._idx = prepare_index_arrays(index, self.occ_cap)
 
     def align(self, codes: np.ndarray, lengths: np.ndarray) -> AlignmentRecords:
         L = codes.shape[1]
@@ -301,6 +351,6 @@ class PanelAligner:
         # stay coarse.
         m = self.max_minimizers or max(64, ((L // 4) + 63) // 64 * 64)
         out = seed_and_chain(jnp.asarray(codes), jnp.asarray(lengths),
-                             self._h, self._t,
+                             *self._idx,
                              max_minimizers=m, occ_cap=self.occ_cap)
         return extract_records(out, self.index, np.asarray(lengths))

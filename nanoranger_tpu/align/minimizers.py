@@ -109,13 +109,20 @@ def sketch_batch(codes: jnp.ndarray, lengths: jnp.ndarray, max_minimizers: int):
     pos_all = jnp.broadcast_to(i_idx, (B, n))
     sort_key = jnp.where(sel, pos_all, n + pos_all)
     M = min(max_minimizers, n)
-    order = jnp.argsort(sort_key, axis=1)[:, :M]
+    # one multi-operand sort (selected-first, by position) — applying an
+    # argsort permutation with take_along_axis would be a slow TPU gather
+    _, pos, hashes, strands = jax.lax.sort(
+        (sort_key, pos_all, h, strand), dimension=1, num_keys=1,
+        is_stable=True)
+    pos = pos[:, :M]
+    hashes = hashes[:, :M]
+    strands = strands[:, :M]
     count = jnp.minimum(jnp.sum(sel, axis=1), M).astype(jnp.int32)
     slot = jnp.arange(M, dtype=jnp.int32)[None, :]
     ok = slot < count[:, None]
-    pos = jnp.where(ok, jnp.take_along_axis(pos_all, order, axis=1), -1)
-    hashes = jnp.where(ok, jnp.take_along_axis(h, order, axis=1), HINF)
-    strands = jnp.where(ok, jnp.take_along_axis(strand, order, axis=1), 0)
+    pos = jnp.where(ok, pos, -1)
+    hashes = jnp.where(ok, hashes, HINF)
+    strands = jnp.where(ok, strands, 0)
     if M < max_minimizers:  # keep the promised fixed output shape
         padn = max_minimizers - M
         pos = jnp.pad(pos, ((0, 0), (0, padn)), constant_values=-1)

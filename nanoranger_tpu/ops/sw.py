@@ -51,9 +51,21 @@ def _sub_scores(q_col, r_char):
     return jnp.where((q_col == PAD_CODE) | (r_char == PAD_CODE), -1, s)
 
 
+def sw_end2end(query, qlen, refs, rlen, umi_ref_offset: int):
+    """Dispatch: fused Pallas kernel on TPU (ops/pallas_sw.py), XLA scans
+    on CPU. The Pallas path assumes uniform ref length == refs.shape[1]
+    (true for every whitelist: pads are fixed per chemistry)."""
+    import jax as _jax
+    if _jax.default_backend() != "cpu":
+        from .pallas_sw import sw_end2end_pallas
+        return sw_end2end_pallas(query, qlen, refs, rlen, umi_ref_offset,
+                                 interpret=False)
+    return sw_end2end_xla(query, qlen, refs, rlen, umi_ref_offset)
+
+
 @functools.partial(jax.jit, static_argnames=("umi_ref_offset",))
-def sw_end2end(query: jnp.ndarray, qlen: jnp.ndarray, refs: jnp.ndarray,
-               rlen: jnp.ndarray, umi_ref_offset: int):
+def sw_end2end_xla(query: jnp.ndarray, qlen: jnp.ndarray, refs: jnp.ndarray,
+                   rlen: jnp.ndarray, umi_ref_offset: int):
     """Score query[i] vs refs[i] end-to-end and locate the UMI query index.
 
     Args:

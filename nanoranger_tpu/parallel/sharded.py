@@ -210,7 +210,7 @@ def build_sharded_align(spec, index, mesh, max_minimizers=128, S=2):
     from ..stages.device_step import _device_records
     from ..io.encode import encode as _encode
 
-    idx_h, idx_t = prepare_index_arrays(index)
+    idx_arrays = prepare_index_arrays(index)
     ref_offset = jnp.asarray(index.ref_offset.astype(_np.int32))
     f = spec.flank
     pat = jnp.asarray(_encode(spec.scan.pattern))
@@ -218,7 +218,7 @@ def build_sharded_align(spec, index, mesh, max_minimizers=128, S=2):
 
     def fn(codes, lengths):
         B, L = codes.shape
-        chain_out = seed_and_chain(codes, lengths, idx_h, idx_t,
+        chain_out = seed_and_chain(codes, lengths, *idx_arrays,
                                    max_minimizers=max_minimizers)
         rec = _device_records(chain_out, ref_offset, lengths, S)
         R = B * S

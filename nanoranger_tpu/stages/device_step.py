@@ -35,30 +35,42 @@ MASK_LEVEL = 0.5
 def _device_records(chain_out, ref_offset, lengths, S: int):
     """Top-S chains per read as fixed slots.
 
+    Chain labels come straight from the DP's root propagation; top chains
+    are selected by taking the top anchors by f (a chain's end anchor
+    carries its maximal score) and greedily keeping distinct roots — no
+    scatter or pointer-chasing on device.
+
     Returns dict of (B, S): ok, strand, qstart, qend (original-read coords),
     tstart_g, tend_g (global t), ref_id."""
     t, q, qpos = chain_out["t"], chain_out["q"], chain_out["qpos"]
     strand, valid = chain_out["strand"], chain_out["valid"]
-    f, parent = chain_out["f"], chain_out["parent"]
+    f, root = chain_out["f"], chain_out["root"]
     B, A = t.shape
 
-    iota = jnp.arange(A, dtype=jnp.int32)[None, :]
-    lab = jnp.where(parent >= 0, parent, iota)
-    steps = int(np.ceil(np.log2(max(A, 2))))
-    for _ in range(steps):
-        lab = jnp.take_along_axis(lab, lab, axis=1)
-
-    fv = jnp.where(valid, f, -jnp.inf)
-    root_f = jnp.full((B, A), -jnp.inf).at[
-        jnp.arange(B)[:, None], lab].max(fv)
-    root_cnt = jnp.zeros((B, A), jnp.int32).at[
-        jnp.arange(B)[:, None], lab].add(valid.astype(jnp.int32))
-    good = (root_f >= MIN_CHAIN_SCORE) & (root_cnt >= MIN_CHAIN_CNT)
-    top_f, top_root = jax.lax.top_k(jnp.where(good, root_f, -jnp.inf), S)
+    fv = jnp.where(valid & (root >= 0), f, -jnp.inf)
+    T = max(16, 4 * S)
+    cand_f, cand_i = jax.lax.top_k(fv, T)                  # (B, T)
+    cand_root = jnp.take_along_axis(root, cand_i, axis=1)
+    used = ~jnp.isfinite(cand_f)
+    chosen_root = jnp.full((B, S), -2, jnp.int32)
+    chosen_f = jnp.full((B, S), -jnp.inf)
+    for s in range(S):
+        avail = ~used
+        any_avail = jnp.any(avail, axis=1)
+        pick = jnp.argmax(avail, axis=1)[:, None]
+        r_s = jnp.take_along_axis(cand_root, pick, axis=1)[:, 0]
+        f_s = jnp.take_along_axis(cand_f, pick, axis=1)[:, 0]
+        chosen_root = chosen_root.at[:, s].set(
+            jnp.where(any_avail, r_s, -2 - s))
+        chosen_f = chosen_f.at[:, s].set(
+            jnp.where(any_avail, f_s, -jnp.inf))
+        used = used | (cand_root == jnp.where(any_avail, r_s, -99)[:, None])
+    top_f = chosen_f
 
     out = {"score": top_f}
-    member = lab[:, None, :] == top_root[:, :, None]       # (B, S, A)
-    member = member & valid[:, None, :]
+    member = root[:, None, :] == chosen_root[:, :, None]   # (B, S, A)
+    member = member & valid[:, None, :] & (chosen_root[:, :, None] >= 0)
+    n_member = jnp.sum(member, axis=2)
     qpos_l = jnp.where(member, qpos[:, None, :], 1 << 30)
     qpos_h = jnp.where(member, qpos[:, None, :] + K, -1)
     t_base = jnp.where(strand == 1, t - STRAND_OFFSET, t)
@@ -69,7 +81,8 @@ def _device_records(chain_out, ref_offset, lengths, S: int):
     tstart = jnp.min(t_l, axis=2)
     tend = jnp.max(t_h, axis=2)
     st = jnp.max(jnp.where(member, strand[:, None, :], 0), axis=2)
-    ok = jnp.isfinite(top_f)
+    ok = jnp.isfinite(top_f) & (top_f >= MIN_CHAIN_SCORE) & \
+        (n_member >= MIN_CHAIN_CNT)
 
     # greedy primary/supplementary suppression by query overlap
     keep = jnp.ones((B, S), bool)
@@ -99,7 +112,7 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
       (N_bc,)). counts = accepted reads per barcode (psum-able)."""
     assert spec.bcumi_rule == "slice", "device step covers 5' modes"
     from ..align.aligner import prepare_index_arrays
-    idx_h, idx_t = prepare_index_arrays(index)
+    idx_arrays = prepare_index_arrays(index)
     ref_offset = jnp.asarray(index.ref_offset.astype(np.int32))
     f = spec.flank
     pat = jnp.asarray(encode(spec.scan.pattern))
@@ -110,7 +123,7 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
     @jax.jit
     def step(codes, lengths):
         B, L = codes.shape
-        chain_out = seed_and_chain(codes, lengths, idx_h, idx_t,
+        chain_out = seed_and_chain(codes, lengths, *idx_arrays,
                                    max_minimizers=max_minimizers)
         rec = _device_records(chain_out, ref_offset, lengths, S)
         R = B * S
