@@ -34,17 +34,11 @@ from ..ops.sw import NEG, sw_end2end
 ACCEPT, LOW_AS, MULTIMAP, NO_CAND, BAD_UMI = 0, 1, 2, 3, 4
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("plan", "umi_ref_offset", "umi_len",
-                                    "as_min", "top_k", "maxocc"))
-def _match_jit(q, qlen, refs, rlen_scalar,
-               starts0, counts0, entries0, hkeys0,
-               starts1, counts1, entries1, hkeys1,
-               plan, umi_ref_offset, umi_len, as_min, top_k, maxocc):
+def _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
+                            umi_ref_offset, umi_len, as_min, top_k):
+    """Shared post-screen path: exact rescoring, unique-best acceptance,
+    UMI extraction (used by both screen variants and the sharded matcher)."""
     B, Lq = q.shape
-    cand, cheap = screen(q, qlen, starts0, counts0, entries0, hkeys0,
-                         starts1, counts1, entries1, hkeys1, plan, top_k,
-                         maxocc)
     K = top_k
     has_cand = cand >= 0
     cand_cl = jnp.clip(cand, 0, refs.shape[0] - 1)
@@ -88,11 +82,47 @@ def _match_jit(q, qlen, refs, rlen_scalar,
     return best_bc, best_score, status, umi, bqpos
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "umi_ref_offset", "umi_len",
+                                    "as_min", "top_k", "maxocc"))
+def _match_jit(q, qlen, refs, rlen_scalar,
+               starts0, counts0, entries0, hkeys0,
+               starts1, counts1, entries1, hkeys1,
+               plan, umi_ref_offset, umi_len, as_min, top_k, maxocc):
+    """Bucket-screen variant (general whitelists)."""
+    cand, _ = screen(q, qlen, starts0, counts0, entries0, hkeys0,
+                     starts1, counts1, entries1, hkeys1, plan, top_k,
+                     maxocc)
+    return _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
+                                   umi_ref_offset, umi_len, as_min, top_k)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nominal", "jitter", "q_delta2", "l1",
+                                    "l2", "umi_ref_offset", "umi_len",
+                                    "as_min", "top_k"))
+def _match_jit_product(q, qlen, refs, rlen_scalar, planes1, planes2, pair,
+                       nominal, jitter, q_delta2, l1, l2,
+                       umi_ref_offset, umi_len, as_min, top_k):
+    """Product-screen variant (10x-style combinatorial whitelists —
+    ops/product_screen.py)."""
+    from ..ops.product_screen import product_screen
+    # indel-damaged halves rank low in ungapped profiles, so rescore a
+    # wider candidate set and let the exact DP arbitrate
+    cand, _ = product_screen(q, qlen, planes1, planes2, pair, nominal,
+                             jitter, q_delta2, l1, l2,
+                             top_t=max(top_k, 8), top_k=max(2 * top_k, 16))
+    return _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
+                                   umi_ref_offset, umi_len, as_min,
+                                   max(2 * top_k, 16))
+
+
 class BarcodeMatcher:
     """Holds device-resident whitelist tables for one chemistry."""
 
     def __init__(self, barcodes: np.ndarray, spec: BarcodeMatchSpec,
-                 jitter: int = 8, top_k: int = 8):
+                 jitter: int = 8, top_k: int = 8, force_bucket: bool = False):
+        from ..ops.product_screen import ProductTable
         self.spec = spec
         self.barcodes = np.asarray(barcodes)
         bc_codes, _ = encode_batch([b for b in self.barcodes],
@@ -102,20 +132,46 @@ class BarcodeMatcher:
         self.refs = jnp.asarray(refs_np)
         self.plan = plan_for(spec, spec.bc_query_offset, jitter)
         self.top_k = top_k
-        t = SeedTable(bc_codes.astype(np.int64), self.plan)
-        self.maxocc = t.maxocc
-        self._tables = tuple(jnp.asarray(a) for a in
-                             (t.starts[0], t.counts[0], t.entries[0], t.half_keys[0],
-                              t.starts[1], t.counts[1], t.entries[1], t.half_keys[1]))
+        self.jitter = jitter
+        self.product = None if force_bucket else ProductTable.build(
+            bc_codes.astype(np.int64), self.plan.half_bounds,
+            self.plan.q_deltas)
+        if self.product is not None:
+            self._planes1 = jnp.asarray(self.product.planes1)
+            self._planes2 = jnp.asarray(self.product.planes2)
+            self._pair = jnp.asarray(self.product.pair)
+            self._tables = None
+            self.maxocc = 0
+        else:
+            t = SeedTable(bc_codes.astype(np.int64), self.plan)
+            self.maxocc = t.maxocc
+            self._tables = tuple(jnp.asarray(a) for a in
+                                 (t.starts[0], t.counts[0], t.entries[0],
+                                  t.half_keys[0], t.starts[1], t.counts[1],
+                                  t.entries[1], t.half_keys[1]))
 
-    def match(self, q: np.ndarray, qlen: np.ndarray):
-        """q: (B, Lq) int8 BC-UMI candidates; returns dict of numpy arrays."""
-        bc, score, status, umi, qpos = _match_jit(
-            jnp.asarray(q), jnp.asarray(qlen), self.refs,
-            jnp.int32(self.ref_len), *self._tables,
+    def match_device(self, q, qlen):
+        """Jit-composable match: returns (bc, score, status, umi, qpos)."""
+        if self.product is not None:
+            p = self.product
+            return _match_jit_product(
+                q, qlen, self.refs, jnp.int32(self.ref_len),
+                self._planes1, self._planes2, self._pair,
+                nominal=self.plan.nominal, jitter=self.jitter,
+                q_delta2=p.q_delta2, l1=p.l1, l2=p.l2,
+                umi_ref_offset=self.spec.umi_ref_offset,
+                umi_len=self.spec.umi_len, as_min=self.spec.as_min,
+                top_k=self.top_k)
+        return _match_jit(
+            q, qlen, self.refs, jnp.int32(self.ref_len), *self._tables,
             plan=self.plan, umi_ref_offset=self.spec.umi_ref_offset,
             umi_len=self.spec.umi_len, as_min=self.spec.as_min,
             top_k=self.top_k, maxocc=self.maxocc)
+
+    def match(self, q: np.ndarray, qlen: np.ndarray):
+        """q: (B, Lq) int8 BC-UMI candidates; returns dict of numpy arrays."""
+        bc, score, status, umi, qpos = self.match_device(
+            jnp.asarray(q), jnp.asarray(qlen))
         return {"bc_idx": np.asarray(bc), "score": np.asarray(score),
                 "status": np.asarray(status), "umi": np.asarray(umi),
                 "qpos": np.asarray(qpos)}

@@ -27,7 +27,7 @@ from ..align.minimizers import K
 from ..chemistry import ChemistrySpec
 from ..io.encode import COMPLEMENT, PAD, encode
 from ..ops.edit_distance import hw_locate
-from ..stages.barcode import ACCEPT, BarcodeMatcher, _match_jit
+from ..stages.barcode import ACCEPT, BarcodeMatcher
 
 MASK_LEVEL = 0.5
 
@@ -116,7 +116,6 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
     ref_offset = jnp.asarray(index.ref_offset.astype(np.int32))
     f = spec.flank
     pat = jnp.asarray(encode(spec.scan.pattern))
-    tables = matcher._tables
     n_bc = len(matcher.barcodes)
     Lc = 96
 
@@ -162,12 +161,8 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
         cand = jnp.where(jj < blen[:, None],
                          jnp.take_along_axis(window, bidx, axis=1), PAD)
 
-        bc_idx, score, status, umi, qpos = _match_jit(
-            cand.astype(jnp.int8), blen, matcher.refs,
-            jnp.int32(matcher.ref_len), *tables,
-            plan=matcher.plan, umi_ref_offset=spec.barcode.umi_ref_offset,
-            umi_len=spec.barcode.umi_len, as_min=spec.barcode.as_min,
-            top_k=matcher.top_k, maxocc=matcher.maxocc)
+        bc_idx, score, status, umi, qpos = matcher.match_device(
+            cand.astype(jnp.int8), blen)
         status = jnp.where(hit, status, 5)          # 5 = no adapter
         accepted = status == ACCEPT
         counts = jnp.zeros((n_bc,), jnp.int32).at[
