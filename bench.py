@@ -1,0 +1,125 @@
+"""Headline benchmark: reads/s through the fused device pipeline step.
+
+Workload: real ONT reads (K562/Kasumi1 fusion sample bundled under
+data/samples/) through the full single-chip 5p10XGEX path — minimizer
+seed → chain DP → chain extraction → flank adapter scan → BC-UMI slice →
+full 737K-whitelist match (product screen + exact DP) → per-barcode
+counts — as one jitted computation on the default JAX device (the TPU in
+production; the driver runs this on real hardware).
+
+Baseline: the reference is a 16-core CPU toolchain (minimap2 | python
+decon | STAR barcode matching; SLURM envelopes in BASELINE.md — no
+published reads/s exists). We approximate its throughput by timing THIS
+engine's identical computation on this host's CPU and scaling to 16 cores
+(generous to the reference: its python decon loop is slower per core than
+our vectorized CPU path). The CPU measurement is cached in
+BENCH_BASELINE.json so TPU bench runs stay fast.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SAMPLE = os.path.join(REPO, "data/samples/K562_Kasumi1_BCRABL1_RUNX1_RUNX1T1.fastq.gz")
+PANEL = os.path.join(REPO, "data/RUNX1_RUNX1T1_ABL1_BCR.fa")
+WHITELIST = os.path.join(REPO, "data/737K-august-2016.txt.gz")
+BASELINE_FILE = os.path.join(REPO, "BENCH_BASELINE.json")
+
+B = 1024          # reads per step
+L = 2048          # padded read length
+CPU_SCALE = 8.0   # this host has 2 cores; reference envelope is 16 cores
+
+
+def _setup():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    from nanoranger_tpu import chemistry
+    from nanoranger_tpu.align.index import PanelIndex
+    from nanoranger_tpu.io import fastq, whitelist
+    from nanoranger_tpu.stages.barcode import BarcodeMatcher
+    from nanoranger_tpu.stages.device_step import build_device_step
+
+    spec = chemistry.get("5p10XGEX")
+    batch = fastq.read_all(SAMPLE, max_len=L, pad_to_multiple=L)
+    n = (len(batch) // B) * B
+    codes = batch.codes[:n]
+    lengths = batch.lengths[:n]
+    index = PanelIndex.from_fasta(PANEL)
+    bcs = whitelist.load_txt(WHITELIST)
+    matcher = BarcodeMatcher(bcs, spec.barcode)
+    step = build_device_step(spec, index, matcher, S=2, max_minimizers=512)
+    return step, codes, lengths, n
+
+
+def _measure(step, codes, lengths, n, iters):
+    import jax
+    out = None
+    for s in range(0, n, B):                      # warmup + compile
+        out = step(codes[s:s + B], lengths[s:s + B])
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        for s in range(0, n, B):
+            out = step(codes[s:s + B], lengths[s:s + B])
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    return n * iters / dt, out
+
+
+def main():
+    # cached CPU baseline (measured once, separate process to force CPU)
+    if not os.path.isfile(BASELINE_FILE):
+        r = subprocess.run(
+            [sys.executable, __file__, "--cpu-baseline"],
+            env={**os.environ, "PYTHONPATH": "", "JAX_PLATFORMS": "cpu"},
+            capture_output=True, text=True)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if line:
+            with open(BASELINE_FILE, "w") as f:
+                f.write(line[-1])
+    baseline = None
+    if os.path.isfile(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f).get("cpu_16core_reads_per_s")
+
+    step, codes, lengths, n = _setup()
+    reads_per_s, out = _measure(step, codes, lengths, n, iters=5)
+    acc = int((np.asarray(out["status"]) == 0).sum())
+    vs = round(reads_per_s / baseline, 2) if baseline else None
+    print(json.dumps({
+        "metric": "5p10XGEX fused pipeline reads/s/chip (K562 sample, 737K whitelist)",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": vs,
+        "detail": {"accepted_last_batch": acc, "batch": B, "padded_len": L,
+                   "baseline_cpu16_reads_per_s": baseline},
+    }))
+
+
+def cpu_baseline():
+    step, codes, lengths, n = _setup()
+    n = min(n, B)  # one batch is enough on 2 CPU cores
+    reads_per_s, _ = _measure(step, codes, lengths, n, iters=1)
+    print(json.dumps({
+        "cpu_2core_reads_per_s": round(reads_per_s, 1),
+        "cpu_16core_reads_per_s": round(reads_per_s * CPU_SCALE, 1),
+        "note": "engine's own CPU path scaled x8 (2->16 cores) as a proxy "
+                "for the reference 16-core toolchain (BASELINE.md)",
+    }))
+
+
+if __name__ == "__main__":
+    if "--cpu-baseline" in sys.argv:
+        cpu_baseline()
+    else:
+        main()
