@@ -70,24 +70,30 @@ class SeedTable:
 
     def __init__(self, bc_codes: np.ndarray, plan: SeedPlan):
         assert bc_codes.shape[1] == plan.bc_len
-        assert (bc_codes < 4).all(), "whitelist must be pure ACGT"
         self.plan = plan
         self.n_bc = bc_codes.shape[0]
         self.half_len = tuple(hi - lo for lo, hi in plan.half_bounds)
         self.starts, self.counts, self.entries, self.half_keys = [], [], [], []
         max_bucket = 1
         for (lo, hi) in plan.half_bounds:
-            keys = _pack_np(bc_codes[:, lo:hi])
+            half = bc_codes[:, lo:hi]
+            # barcodes with N in this half (2584/17753 slideseq beads) can
+            # never seed here — they stay reachable via their other half;
+            # their key is poisoned so cheap-verify treats it as mismatch
+            valid = (half < 4).all(axis=1)
+            keys = _pack_np(np.where(half < 4, half, 0))
             space = 4 ** (hi - lo)
-            counts = np.bincount(keys, minlength=space).astype(np.int32)
+            counts = np.bincount(keys[valid], minlength=space).astype(np.int32)
             starts = np.zeros(space, np.int32)
             np.cumsum(counts[:-1], out=starts[1:])
-            order = np.argsort(keys, kind="stable").astype(np.int32)
+            order = np.argsort(np.where(valid, keys, space + 1),
+                               kind="stable").astype(np.int32)
             max_bucket = max(max_bucket, int(counts.max()))
             self.starts.append(starts)
             self.counts.append(counts)
             self.entries.append(order)
-            self.half_keys.append(keys.astype(np.int32))
+            self.half_keys.append(
+                np.where(valid, keys, -1).astype(np.int32))
         # gather whole buckets; truncation only beyond BUCKET_LIMIT
         self.maxocc = min(_next_pow2(max_bucket), BUCKET_LIMIT)
 
