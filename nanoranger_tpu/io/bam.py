@@ -143,6 +143,181 @@ class BAMWriter:
         self.close()
 
 
+# ---------------------------------------------------------------------------
+# BAM reading (for the downstream utilities; htslib-free)
+
+_SEQ4_REV = "=ACMGRSVTWYHKDBN"
+_CIGAR_OPS_REV = "MIDNSHP=X"
+
+
+class BamRecord:
+    __slots__ = ("name", "flag", "ref_id", "pos", "mapq", "cigar", "seq",
+                 "qual", "tags")
+
+    def __init__(self, name, flag, ref_id, pos, mapq, cigar, seq, qual, tags):
+        self.name = name
+        self.flag = flag
+        self.ref_id = ref_id
+        self.pos = pos
+        self.mapq = mapq
+        self.cigar = cigar        # list[(n, op_char)]
+        self.seq = seq            # str
+        self.qual = qual          # list[int] phred
+        self.tags = tags          # dict
+
+    @property
+    def reference_end(self) -> int:
+        return self.pos + sum(n for n, op in self.cigar if op in "MDN=X")
+
+    @property
+    def query_alignment_length(self) -> int:
+        return sum(n for n, op in self.cigar if op in "MI=X")
+
+    def aligned_pairs(self):
+        """[(qpos|None, rpos|None), ...] like pysam.aligned_pairs."""
+        out = []
+        qi, ri = 0, self.pos
+        for n, op in self.cigar:
+            if op in "M=X":
+                for _ in range(n):
+                    out.append((qi, ri))
+                    qi += 1
+                    ri += 1
+            elif op == "I":
+                for _ in range(n):
+                    out.append((qi, None))
+                    qi += 1
+            elif op == "S":
+                qi += n                    # soft clips are not aligned pairs
+            elif op in "DN":
+                for _ in range(n):
+                    out.append((None, ri))
+                    ri += 1
+        return out
+
+    def query_pos_at(self, rpos: int):
+        """Query index aligned (match/mismatch) at reference position rpos,
+        plus the following indel length (pysam pileupread.indel semantics:
+        inserted bases after this column > 0, deletion < 0)."""
+        qi, ri = 0, self.pos
+        cig = self.cigar
+        for k, (n, op) in enumerate(cig):
+            if op in "M=X":
+                if ri <= rpos < ri + n:
+                    q = qi + (rpos - ri)
+                    indel = 0
+                    if rpos == ri + n - 1 and k + 1 < len(cig):
+                        nn, nop = cig[k + 1]
+                        if nop == "I":
+                            indel = nn
+                        elif nop in "DN":
+                            indel = -nn
+                    return q, indel
+                qi += n
+                ri += n
+            elif op in "IS":
+                qi += n
+            elif op in "DN":
+                if ri <= rpos < ri + n:
+                    return None, 0          # deleted at this column
+                ri += n
+        return None, 0
+
+    def overlap(self, start: int, end: int) -> int:
+        """Aligned (M/=/X) bases within [start, end) — pysam get_overlap."""
+        ov = 0
+        qi, ri = 0, self.pos
+        for n, op in self.cigar:
+            if op in "M=X":
+                ov += max(0, min(ri + n, end) - max(ri, start))
+                ri += n
+                qi += n
+            elif op in "IS":
+                qi += n
+            elif op in "DN":
+                ri += n
+        return ov
+
+
+def _bgzf_decompress(path: str) -> bytes:
+    import gzip
+    with gzip.open(path, "rb") as f:    # BGZF is valid multi-member gzip
+        return f.read()
+
+
+def read_bam(path: str):
+    """Parse a BAM file → (ref_names, ref_lens, iterator of BamRecord)."""
+    raw = _bgzf_decompress(path)
+    assert raw[:4] == b"BAM\x01", "not a BAM file"
+    l_text = struct.unpack("<i", raw[4:8])[0]
+    off = 8 + l_text
+    n_ref = struct.unpack("<i", raw[off:off + 4])[0]
+    off += 4
+    ref_names, ref_lens = [], []
+    for _ in range(n_ref):
+        ln = struct.unpack("<i", raw[off:off + 4])[0]
+        ref_names.append(raw[off + 4:off + 4 + ln - 1].decode())
+        ref_lens.append(struct.unpack("<i", raw[off + 4 + ln:off + 8 + ln])[0])
+        off += 8 + ln
+
+    def records():
+        o = off
+        while o < len(raw):
+            bs = struct.unpack("<i", raw[o:o + 4])[0]
+            rec = raw[o + 4:o + 4 + bs]
+            o += 4 + bs
+            ref_id, pos = struct.unpack("<ii", rec[:8])
+            l_rn = rec[8]
+            mapq = rec[9]
+            n_cig = struct.unpack("<H", rec[12:14])[0]
+            flag = struct.unpack("<H", rec[14:16])[0]
+            l_seq = struct.unpack("<i", rec[16:20])[0]
+            p = 32
+            name = rec[p:p + l_rn - 1].decode()
+            p += l_rn
+            cigar = []
+            for _ in range(n_cig):
+                v = struct.unpack("<I", rec[p:p + 4])[0]
+                cigar.append((v >> 4, _CIGAR_OPS_REV[v & 0xF]))
+                p += 4
+            seq = "".join(
+                _SEQ4_REV[(rec[p + i // 2] >> (4 if i % 2 == 0 else 0)) & 0xF]
+                for i in range(l_seq))
+            p += (l_seq + 1) // 2
+            qual = list(rec[p:p + l_seq])
+            p += l_seq
+            tags = {}
+            while p < len(rec):
+                key = rec[p:p + 2].decode()
+                typ = chr(rec[p + 2])
+                p += 3
+                if typ == "Z":
+                    e = rec.index(0, p)
+                    tags[key] = rec[p:e].decode()
+                    p = e + 1
+                elif typ in "iI":
+                    tags[key] = struct.unpack("<i", rec[p:p + 4])[0]
+                    p += 4
+                elif typ in "cC":
+                    tags[key] = rec[p]
+                    p += 1
+                elif typ in "sS":
+                    tags[key] = struct.unpack("<h", rec[p:p + 2])[0]
+                    p += 2
+                elif typ == "f":
+                    tags[key] = struct.unpack("<f", rec[p:p + 4])[0]
+                    p += 4
+                elif typ == "A":
+                    tags[key] = chr(rec[p])
+                    p += 1
+                else:
+                    break  # unsupported array tag: stop parsing this record
+            yield BamRecord(name, flag, ref_id, pos, mapq, cigar, seq,
+                            qual, tags)
+
+    return ref_names, ref_lens, records()
+
+
 class SAMWriter:
     """Plain-text SAM (for _trns.sam / _matching.sam artifact parity)."""
 
