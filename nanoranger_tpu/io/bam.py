@@ -29,6 +29,12 @@ class BGZFWriter:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._f = open(path, "wb")
         self._buf = bytearray()
+        self._coffset = 0      # compressed bytes written (= next block start)
+
+    def tell_virtual(self) -> int:
+        """BAM virtual file offset of the next byte to be written
+        (coffset of the block it will land in << 16 | offset within)."""
+        return (self._coffset << 16) | len(self._buf)
 
     def write(self, data: bytes):
         self._buf += data
@@ -46,8 +52,9 @@ class BGZFWriter:
                   b"\x06\x00" b"\x42\x43" b"\x02\x00" +
                   struct.pack("<H", bsize_m1))
         crc = zlib.crc32(bytes(chunk)) & 0xFFFFFFFF
-        self._f.write(header + comp +
-                      struct.pack("<II", crc, len(chunk)))
+        block = header + comp + struct.pack("<II", crc, len(chunk))
+        self._f.write(block)
+        self._coffset += len(block)
 
     def close(self):
         if self._buf:
@@ -92,10 +99,18 @@ def _reg2bin(beg: int, end: int) -> int:
 
 
 class BAMWriter:
-    """Minimal coordinate-order BAM writer with Z/i tags."""
+    """Minimal coordinate-order BAM writer with Z/i tags.
+
+    With index=True a .bai (BAI binning + linear index, SAM spec §5.1.3)
+    is written on close so samtools/IGV can random-access the output —
+    records must be added in coordinate order."""
 
     def __init__(self, path: str, ref_names: list, ref_lens: list,
-                 extra_header: str = ""):
+                 extra_header: str = "", index: bool = False):
+        self._path = path
+        self._index = index
+        self._chunks = []      # (ref_id, pos, end, vbeg, vend)
+        self._n_ref = len(ref_names)
         self._w = BGZFWriter(path)
         text = "@HD\tVN:1.6\tSO:coordinate\n"
         for n, l in zip(ref_names, ref_lens):
@@ -131,10 +146,57 @@ class BAMWriter:
                            _reg2bin(pos, pos + ref_span), len(cigar), flag,
                            l_seq, -1, -1, 0)
         body += nb + cig + seq + q + tag_b
+        vbeg = self._w.tell_virtual()
         self._w.write(struct.pack("<i", len(body)) + body)
+        if self._index:
+            self._chunks.append((ref_id, pos, pos + ref_span, vbeg,
+                                 self._w.tell_virtual()))
 
     def close(self):
         self._w.close()
+        if self._index:
+            self._write_bai()
+
+    def _write_bai(self):
+        out = bytearray(b"BAI\x01" + struct.pack("<i", self._n_ref))
+        by_ref: dict = {}
+        for ref_id, pos, end, vb, ve in self._chunks:
+            by_ref.setdefault(ref_id, []).append((pos, end, vb, ve))
+        for rid in range(self._n_ref):
+            recs = by_ref.get(rid, [])
+            bins: dict = {}
+            max_end = 0
+            for pos, end, vb, ve in recs:
+                b = _reg2bin(pos, end)
+                ch = bins.setdefault(b, [])
+                if ch and ch[-1][1] == vb:       # merge adjacent chunks
+                    ch[-1] = (ch[-1][0], ve)
+                else:
+                    ch.append((vb, ve))
+                max_end = max(max_end, end)
+            out += struct.pack("<i", len(bins))
+            for b in sorted(bins):
+                out += struct.pack("<Ii", b, len(bins[b]))
+                for vb, ve in bins[b]:
+                    out += struct.pack("<QQ", vb, ve)
+            # linear index: per 16kb window, min voffset of overlapping recs
+            n_intv = (max_end + 16383) // 16384 if recs else 0
+            ioff = [0] * n_intv
+            for pos, end, vb, ve in recs:
+                for w in range(pos // 16384, (max(end - 1, pos)) // 16384 + 1):
+                    if ioff[w] == 0 or vb < ioff[w]:
+                        ioff[w] = vb
+            # fill zero gaps with the previous value (samtools convention)
+            last = 0
+            for w in range(n_intv):
+                if ioff[w] == 0:
+                    ioff[w] = last
+                last = ioff[w]
+            out += struct.pack("<i", n_intv)
+            for v in ioff:
+                out += struct.pack("<Q", v)
+        with open(self._path + ".bai", "wb") as f:
+            f.write(bytes(out))
 
     def __enter__(self):
         return self

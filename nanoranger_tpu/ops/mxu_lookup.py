@@ -41,12 +41,18 @@ def build_window_planes(arrays: list[np.ndarray], occ: int) -> np.ndarray:
 def windowed_lookup(starts: jnp.ndarray, W: jnp.ndarray, n_arrays: int,
                     occ: int) -> list[jnp.ndarray]:
     """Device: rows W[starts] via one-hot matmul; returns per-array windows
-    [(N, occ) int32 (bit-exact uint32 reinterpreted), ...]."""
+    [(N, occ) int32 (bit-exact uint32 reinterpreted), ...].
+
+    On CPU the one-hot is NOT fused by XLA (it materializes N×E_pad), so a
+    plain row gather is used there instead — same results."""
     N = starts.shape[0]
     E_pad = W.shape[0]
-    oh = jax.nn.one_hot(starts, E_pad, dtype=jnp.int8)
-    raw = jax.lax.dot_general(oh, W, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
+    if jax.default_backend() == "cpu":
+        raw = W[jnp.clip(starts, 0, E_pad - 1)].astype(jnp.int32)
+    else:
+        oh = jax.nn.one_hot(starts, E_pad, dtype=jnp.int8)
+        raw = jax.lax.dot_general(oh, W, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
     out = []
     for a in range(n_arrays):
         base = a * occ * 4

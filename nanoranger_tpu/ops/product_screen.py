@@ -153,6 +153,7 @@ def product_screen(q, qlen, planes1, planes2, pair, nominal, jitter,
 
     m1, f1 = side(planes1, offs1, l1)
     m2, f2 = side(planes2, offs2, l2)
+    top_t = min(top_t, m1.shape[1], m2.shape[1])    # tiny whitelists
     # T×T pairs rank by the PURE ungapped profile (substitution cases);
     # indel cases ride the partner expansion below — the split term would
     # otherwise inflate random keys and crowd the top-T
@@ -173,9 +174,9 @@ def product_screen(q, qlen, planes1, planes2, pair, nominal, jitter,
     # fetch validity via one-hot matmul and keep the top-RK partners by the
     # other side's (indel-tolerant) profile. This reproduces the gather
     # screen's candidate set without large gathers.
-    E, RK = 4, 12
     pv = (pair >= 0).astype(jnp.int8)
     n1, n2 = pv.shape
+    E, RK = min(4, n1, n2), min(12, n1, n2)
     e1v, e1i = jax.lax.top_k(f1, E)
     e2v, e2i = jax.lax.top_k(f2, E)
     for e in range(E):

@@ -224,7 +224,7 @@ def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=2048):
     bam_path = f"{outdir}/{sample}_genome_tagged.bam"
     all_trns = []
     with BAMWriter(bam_path, gindex.names,
-                   [len(s) for s in gindex.seq_codes]) as w:
+                   [len(s) for s in gindex.seq_codes], index=True) as w:
         for k, (rid, ts, te, qs, qe, flag, name, codes, qual) in enumerate(rows):
             cb, ub, xt = tag_map[name]
             if flag & 16:
