@@ -51,7 +51,7 @@ MIN_CHAIN_CNT = 3     # minimap2 -n
 OCC_CAP = 16          # per-minimizer occurrence cap (frequent-seed filter)
 MASK_LEVEL = 0.5      # minimap2 primary overlap threshold
 
-NEGF = jnp.float32(-1e18)
+NEGF = np.float32(-1e18)  # np not jnp: avoid backend init at import
 
 
 @functools.partial(jax.jit, static_argnames=("max_minimizers", "occ_cap"))

@@ -34,7 +34,8 @@ K = 15          # map-ont defaults (minimap2 -x map-ont)
 W = 10
 
 MASK = (1 << 30) - 1  # 2k = 30 bits
-HINF = jnp.uint32(0xFFFFFFFF)
+# numpy (not jnp) so importing this module never initializes a JAX backend
+HINF = np.uint32(0xFFFFFFFF)
 
 
 def _mix32(h: jnp.ndarray) -> jnp.ndarray:

@@ -38,7 +38,7 @@ import numpy as np
 from ..io.encode import N as N_CODE
 from ..io.encode import PAD as PAD_CODE
 
-BIG = jnp.int32(1 << 20)
+BIG = np.int32(1 << 20)  # np not jnp: avoid backend init at import
 
 
 def _match_mask(p_char, t_chars, wildcard: bool):

@@ -1,10 +1,17 @@
 """Pallas TPU kernel for the windowed colinear chain DP.
 
 Same recurrence as the scan in align/aligner.seed_and_chain (minimap2
-chain scoring, bounded G-predecessor window), but the whole A-step
-sequential loop runs inside one Mosaic kernel with the DP state resident
-in VMEM. Layout: anchors transposed to (A, TB) so the sliding predecessor
-window is a dynamic sublane slice; the batch rides the lane axis.
+chain scoring, bounded G-predecessor window), but the A-step sequential
+loop runs inside Mosaic kernels with the DP state resident in VMEM.
+Layout: anchors transposed to (A, TB) so the sliding predecessor window
+is a dynamic sublane slice; the batch rides the lane axis.
+
+The anchor axis is processed in fixed CH-row chunks (grid dim 1,
+sequential): only the last G rows of DP state cross a chunk boundary, so
+they are carried in persistent VMEM scratch and rolled to the front at
+each chunk start. This bounds VMEM use to O((CH+G)*TB) regardless of A —
+the previous whole-A-resident layout blew the 16 MB scoped-VMEM limit at
+production shapes (A≈3k, B=2048).
 """
 
 from __future__ import annotations
@@ -13,33 +20,49 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-G = 64
+G = 64        # predecessor window (minimap2 max-chain-iter analogue)
+CH = 256      # anchor rows per grid chunk
 NEGF = -1e18
 
 
-def _chain_kernel(t_ref, q_ref, v_ref, f_ref, par_ref, root_ref, fscr,
-                  rootscr, *, A, TB, k_span, max_gap, bandwidth):
-    # fscr/rootscr: (A + G, TB) scratch, rows [0, G) = padding
-    fscr[...] = jnp.full((A + G, TB), NEGF, jnp.float32)
-    rootscr[...] = jnp.full((A + G, TB), -1, jnp.int32)
+def _chain_kernel(t_ref, q_ref, v_ref, f_ref, par_ref, root_ref,
+                  tscr, qscr, fscr, rootscr, *, TB, k_span, max_gap,
+                  bandwidth):
+    # scratch buffers: (CH + G, TB); rows [0, G) hold the previous chunk's
+    # tail (or sentinels at the first chunk), rows [G, G+CH) the current
+    # chunk. Scratch persists across grid steps; chunk dim is sequential.
+    a = pl.program_id(1)
+
+    @pl.when(a == 0)
+    def _init():
+        # sentinel predecessors: t huge so dt<=max_gap fails; f = -inf
+        tscr[pl.ds(0, G), :] = jnp.full((G, TB), 2 ** 30, jnp.int32)
+        qscr[pl.ds(0, G), :] = jnp.zeros((G, TB), jnp.int32)
+        fscr[pl.ds(0, G), :] = jnp.full((G, TB), NEGF, jnp.float32)
+        rootscr[pl.ds(0, G), :] = jnp.full((G, TB), -1, jnp.int32)
+
+    @pl.when(a > 0)
+    def _roll():
+        tscr[pl.ds(0, G), :] = tscr[pl.ds(CH, G), :]
+        qscr[pl.ds(0, G), :] = qscr[pl.ds(CH, G), :]
+        fscr[pl.ds(0, G), :] = fscr[pl.ds(CH, G), :]
+        rootscr[pl.ds(0, G), :] = rootscr[pl.ds(CH, G), :]
+
+    tscr[pl.ds(G, CH), :] = t_ref[...]
+    qscr[pl.ds(G, CH), :] = q_ref[...]
+    base = a * CH  # global index of this chunk's first anchor
 
     def body(i, _):
-        # padded row i+G is original anchor i; padded rows [i, i+G) are its
-        # G predecessors (original [i-G, i))
-        ti = t_ref[pl.ds(i + G, 1), :].astype(jnp.float32)   # (1, TB)
-        qi = q_ref[pl.ds(i + G, 1), :].astype(jnp.float32)
+        # scratch row i+G is anchor base+i; rows [i, i+G) its predecessors
+        ti = tscr[pl.ds(i + G, 1), :].astype(jnp.float32)     # (1, TB)
+        qi = qscr[pl.ds(i + G, 1), :].astype(jnp.float32)
         vi = v_ref[pl.ds(i, 1), :]
-        # predecessor window: original rows [i-G, i) = padded [i, i+G)
-        tw = t_ref[pl.ds(i, G), :].astype(jnp.float32)        # rows i-G..i-1
-        qw = q_ref[pl.ds(i, G), :].astype(jnp.float32)
+        tw = tscr[pl.ds(i, G), :].astype(jnp.float32)
+        qw = qscr[pl.ds(i, G), :].astype(jnp.float32)
         fw = fscr[pl.ds(i, G), :]
-        # NOTE t_ref/q_ref are PADDED at the front by G rows by the caller,
-        # so padded row (i+G) is original anchor i and rows [i, i+G) are its
-        # G predecessors.
         dt = ti - tw
         dq = qi - qw
         dd = jnp.abs(dq - dt)
@@ -57,14 +80,14 @@ def _chain_kernel(t_ref, q_ref, v_ref, f_ref, par_ref, root_ref, fscr,
         bestg = jnp.max(packed, axis=0, keepdims=True)        # last argmax
         fi = jnp.maximum(float(k_span), best)
         extend = best > float(k_span)
-        par = jnp.where(extend, i - G + bestg, -1)
+        par = jnp.where(extend, base + i - G + bestg, -1)
         # root propagation: the chain root rides along in scratch so no
         # host/XLA pointer-doubling pass is needed afterwards (one-hot
         # select over the predecessor window)
         rw = rootscr[pl.ds(i, G), :]
         root_from_par = jnp.max(jnp.where(sub == bestg, rw, -1), axis=0,
                                 keepdims=True)
-        root = jnp.where(extend, root_from_par, i)
+        root = jnp.where(extend, root_from_par, base + i)
         fi = jnp.where(vi, fi, NEGF)
         par = jnp.where(vi, par, -1)
         root = jnp.where(vi, root, -1)
@@ -75,7 +98,7 @@ def _chain_kernel(t_ref, q_ref, v_ref, f_ref, par_ref, root_ref, fscr,
         root_ref[pl.ds(i, 1), :] = root
         return 0
 
-    jax.lax.fori_loop(0, A, body, 0)
+    jax.lax.fori_loop(0, CH, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("k_span", "max_gap",
@@ -83,35 +106,34 @@ def _chain_kernel(t_ref, q_ref, v_ref, f_ref, par_ref, root_ref, fscr,
 def chain_dp_pallas(t, q, valid, k_span, max_gap, bandwidth,
                     interpret=False):
     """t, q: (B, A) int32 sorted anchors; valid: (B, A) bool.
-    Returns (f (B, A) float32, parent (B, A) int32)."""
-    B0, A = t.shape
+    Returns (f (B, A) float32, parent (B, A) int32, root (B, A) int32)."""
+    B0, A0 = t.shape
     TB = 128
     B = -(-B0 // TB) * TB
-    if B != B0:
-        pad = ((0, B - B0), (0, 0))
+    A = -(-A0 // CH) * CH
+    pad = ((0, B - B0), (0, A - A0))
+    if pad != ((0, 0), (0, 0)):
         t = jnp.pad(t, pad, constant_values=2_000_000_000)
         q = jnp.pad(q, pad)
         valid = jnp.pad(valid, pad)
-    # transpose to (A, B) and pad the anchor axis by G at the front
-    tT = jnp.pad(t.T, ((G, 0), (0, 0)), constant_values=-(2 ** 30))
-    qT = jnp.pad(q.T, ((G, 0), (0, 0)))
-    vT = valid.T
+    tT, qT, vT = t.T, q.T, valid.T
 
-    grid = (B // TB,)
-    spec_pad = pl.BlockSpec((A + G, TB), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-    spec = pl.BlockSpec((A, TB), lambda i: (0, i), memory_space=pltpu.VMEM)
+    grid = (B // TB, A // CH)
+    spec = pl.BlockSpec((CH, TB), lambda i, a: (a, i),
+                        memory_space=pltpu.VMEM)
     f, par, root = pl.pallas_call(
-        functools.partial(_chain_kernel, A=A, TB=TB, k_span=k_span,
+        functools.partial(_chain_kernel, TB=TB, k_span=k_span,
                           max_gap=max_gap, bandwidth=bandwidth),
         grid=grid,
-        in_specs=[spec_pad, spec_pad, spec],
+        in_specs=[spec, spec, spec],
         out_shape=[jax.ShapeDtypeStruct((A, B), jnp.float32),
                    jax.ShapeDtypeStruct((A, B), jnp.int32),
                    jax.ShapeDtypeStruct((A, B), jnp.int32)],
         out_specs=[spec, spec, spec],
-        scratch_shapes=[pltpu.VMEM((A + G, TB), jnp.float32),
-                        pltpu.VMEM((A + G, TB), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((CH + G, TB), jnp.int32),
+                        pltpu.VMEM((CH + G, TB), jnp.int32),
+                        pltpu.VMEM((CH + G, TB), jnp.float32),
+                        pltpu.VMEM((CH + G, TB), jnp.int32)],
         interpret=interpret,
     )(tT, qT, vT)
-    return f.T[:B0], par.T[:B0], root.T[:B0]
+    return f.T[:B0, :A0], par.T[:B0, :A0], root.T[:B0, :A0]

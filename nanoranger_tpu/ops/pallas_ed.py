@@ -171,7 +171,7 @@ def _on_tpu() -> bool:
 def hw_locate_pallas(pattern, texts, lengths, k, wildcard=False,
                      pick_last=False, interpret=None):
     """Drop-in for ops.edit_distance.hw_locate (interprets on CPU)."""
-    m = int(np.asarray(pattern).shape[0])
+    m = int(pattern.shape[0])  # shape only: pattern may be a traced constant
     if interpret is None:
         interpret = not _on_tpu()
     return _hw_locate_pallas(jnp.asarray(pattern), jnp.asarray(texts),

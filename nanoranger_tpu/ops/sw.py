@@ -38,7 +38,7 @@ import numpy as np
 from ..io.encode import N as N_CODE
 from ..io.encode import PAD as PAD_CODE
 
-NEG = jnp.int32(-(1 << 20))
+NEG = np.int32(-(1 << 20))  # np not jnp: avoid backend init at import
 
 
 def _sub_scores(q_col, r_char):

@@ -358,7 +358,26 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
             f"{len(cnts)} nonzeros")
 
 
+def _honor_jax_platforms_env():
+    """Re-apply the JAX_PLATFORMS env var over any site-level override.
+
+    Some deployments register a custom PJRT plugin from sitecustomize and
+    force-select it via jax.config, which silently discards the user's
+    JAX_PLATFORMS choice (e.g. CPU smoke runs of this CLI). Respect the
+    env var if the backend isn't initialized yet."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    import jax
+    try:
+        if (jax.config.jax_platforms or "") != want:
+            jax.config.update("jax_platforms", want)
+    except RuntimeError:
+        pass  # backend already live; too late to switch
+
+
 def main(argv=None):
+    _honor_jax_platforms_env()
     p = argparse.ArgumentParser(prog="nanoranger-tpu")
     p.add_argument("--cores", type=str, default=None)   # accepted, unused
     p.add_argument("--trns_ref", type=str)
