@@ -271,6 +271,39 @@ def _tag_map_from_df(df):
     return out
 
 
+def _v_panel_paths(mode, xpecies, trns_ref):
+    """V-gene panels for the native clonotyper. A V panel given as the
+    transcriptome ref (5p10XTCR/RTX/3p10XTCR_nuc defaults) is reused
+    directly; 3' modes align to C-gene panels, so the species' bundled V
+    panels are used instead."""
+    if trns_ref and "_V_" in os.path.basename(trns_ref):
+        return [trns_ref]
+    mouse = (xpecies == "mouse") or (not xpecies and mode in
+                                     ("3pXCR_slideseq", "3p10XTCR"))
+    names = (["TR_V_mouse.fa", "IG_V_mouse.fa"] if mouse
+             else ["TR_V_human.fa"])
+    return [os.path.join(DATA_DIR, n) for n in names
+            if os.path.isfile(os.path.join(DATA_DIR, n))]
+
+
+def _ensure_clonotypes(mode, sub_path, outdir, sample, trns_ref,
+                       xpecies) -> bool:
+    """Make clone exports available: MiXCR outputs win when present
+    (external boundary preserved, reference scripts/mixcr.sh); otherwise
+    the native clonotyper (vdj/) produces compatible tables. Returns True
+    when clone tables exist afterwards."""
+    if clone_stage.have_mixcr_outputs(sample, outdir):
+        return True
+    v_fastas = _v_panel_paths(mode, xpecies, trns_ref)
+    if not v_fastas:
+        log("no V-gene panel available for the native clonotyper; "
+            f"run mixcr on {sub_path} then re-run for clone tables")
+        return False
+    from .vdj import call_clonotypes
+    call_clonotypes(sub_path, v_fastas, outdir, sample, log=log)
+    return clone_stage.have_mixcr_outputs(sample, outdir)
+
+
 # ---------------------------------------------------------------------------
 
 def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
@@ -288,8 +321,8 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
     run.write_eds(outdir, sample)
 
     if mode == "RTX":
-        log("RTX: deconcat written; run MiXCR on "
-            f"{run.sub_path} for clonotypes")
+        _ensure_clonotypes(mode, run.sub_path, outdir, sample, trns_ref,
+                           xpecies)
         return
 
     # whitelist
@@ -321,26 +354,22 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
                          _tag_map_from_df(df))
     elif mode in ("5p10XTCR", "3p10XTCR_nuc"):
         dedup_outputs(spec, df, res, outdir, sample, knee_umi_name="knee_UMI")
-        if clone_stage.have_mixcr_outputs(sample, outdir):
+        if _ensure_clonotypes(mode, run.sub_path, outdir, sample, trns_ref,
+                              xpecies):
             _, cloneID = clone_stage.clone_filt_5p10X(sample, outdir)
             acc = df[df.status == ACCEPT]
             clone_stage.clone_bcumi_join(
                 cloneID, acc.name.tolist(), acc.bc.to_numpy(),
                 acc.umi.tolist(), f"{outdir}/{sample}_clone_bcumi.csv.gz")
-        else:
-            log(f"MiXCR outputs absent; run mixcr on {run.sub_path} then "
-                "re-run for _clone_bcumi")
     elif mode in ("3pXCR_slideseq", "3p10XTCR"):
-        if clone_stage.have_mixcr_outputs(sample, outdir):
+        if _ensure_clonotypes(mode, run.sub_path, outdir, sample, trns_ref,
+                              xpecies):
             _, cloneID = clone_stage.clone_filt_slideseq(sample, outdir)
             acc = df[df.status == ACCEPT]
             clone_stage.clone_bcumi_join(
                 cloneID, acc.name.tolist(), acc.bc.to_numpy(),
                 acc.umi.tolist(), f"{outdir}/{sample}_clone_bcumi.csv.gz",
                 clone_first=True)
-        else:
-            log(f"MiXCR outputs absent; run mixcr on {run.sub_path} then "
-                "re-run for _clone_bcumi")
     elif mode == "3p10XGEX":
         acc = df[df.status == ACCEPT]
         umi_codes = res["umi"][(df.status == ACCEPT).to_numpy()]

@@ -1,0 +1,177 @@
+"""Native clonotype caller: subread fastq → MiXCR-shaped clone exports.
+
+Pipeline per batch (the TPU replacement for `mixcr align`+`assemble`,
+reference scripts/mixcr.sh:8-22):
+
+1. V assignment — the panel seed-chain aligner (align/aligner.py, Pallas
+   chain DP) over the V-gene panel; best primary record per subread.
+2. Frame pinning — the V alignment span is re-aligned base-level with the
+   native banded aligner and the CIGAR maps the V reference's conserved
+   Cys codon (vdj/cdr3.v_cys_position) into read coordinates.
+3. CDR3 call — in-frame translation from the Cys to the J [FW]GxG motif
+   (vdj/cdr3.extract_cdr3).
+4. Fallback for short 5' windows — 5p10XTCR subreads carry only ~60 nt of
+   V tail ([qend-60:qend+80], reference utils.py:245-253), often too few
+   exact 15-mers for seeding; when the subread NAME already carries the
+   decon-stage V assignment ('{qname}_{qstrt}_{qend}_{flag}_{trans}',
+   utils.py:265), the known V's tail is banded-aligned to the subread
+   head directly.
+5. Clonotype assembly + exports — vdj/clonotype.
+
+Subreads arrive transcript-forward (the decon stage emits slices in SAM
+orientation, like the reference's pysam query_sequence), so frame
+direction is known; reverse-strand panel hits are treated as junk.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..align.aligner import PanelAligner
+from ..align.index import PanelIndex
+from ..io import fastq
+from ..runtime.native_lib import banded_align_batch
+from . import cdr3 as cdr3mod
+from .clonotype import ReadCall, assemble, write_exports
+
+MIN_TAIL_COVER = 9     # alignment may stop up to this many nt short of Cys
+MAX_EXTRAPOLATE = 9    # ungapped extension allowed past alignment end
+FALLBACK_VTAIL = 60    # 5' window V-tail length (utils.py:245: lclipV=60)
+FALLBACK_MAX_NMFRAC = 0.40
+
+
+def _merged_index(v_fastas: list) -> PanelIndex:
+    names, seqs = [], []
+    for path in v_fastas:
+        idx = PanelIndex.from_fasta(path)
+        names += list(idx.names)
+        seqs += [np.asarray(s, np.int8) for s in idx.seq_codes]
+    return PanelIndex.build(names, seqs)
+
+
+def _primary_per_read(rec, n_reads: int):
+    """Best (highest-score) record index per read, -1 when none."""
+    best = np.full(n_reads, -1, np.int64)
+    best_score = np.full(n_reads, -1, np.int64)
+    for r in range(len(rec)):
+        if rec.strand[r] != 0:      # subreads are transcript-forward
+            continue
+        i = int(rec.read_idx[r])
+        s = int(rec.score[r])
+        if s > best_score[i]:
+            best_score[i] = s
+            best[i] = r
+    return best
+
+
+def _name_v_hint(name: str, v_ids: dict) -> int:
+    """V panel row hinted by the decon read name's trailing trans field.
+    Gene names may themselves contain '_' (e.g. '…|ENST…_463'), so try
+    progressively longer underscore-joined suffixes."""
+    parts = name.split("_")
+    for start in range(min(4, len(parts) - 1), len(parts)):
+        cand = "_".join(parts[start:])
+        if cand in v_ids:
+            return v_ids[cand]
+    # prefix match: reference parses trns=split('_')[4], which truncates
+    for start in range(min(4, len(parts) - 1), len(parts)):
+        cand = "_".join(parts[start:])
+        for nm, i in v_ids.items():
+            if nm.startswith(cand):
+                return i
+    return -1
+
+
+def call_clonotypes(sub_fastq: str, v_fastas: list, outdir: str,
+                    sample: str, batch_size: int = 2048,
+                    max_len: int = 2048, log=print):
+    """Run the native clonotyper over a subread fastq; writes
+    {sample}_clones.txt.gz and {sample}_cloneID.txt.gz in outdir.
+    Returns (clones_df, cloneID_df)."""
+    t0 = time.time()
+    index = _merged_index(v_fastas)
+    aligner = PanelAligner(index)
+    v_codes = [np.asarray(s, np.int8) for s in index.seq_codes]
+    cys = np.asarray([cdr3mod.v_cys_position(s) for s in v_codes])
+    v_ids = {nm: i for i, nm in enumerate(index.names)}
+
+    calls: list = []
+    n_total = n_aligned = n_fallback = 0
+    for batch in fastq.iter_batches(sub_fastq, batch_size, max_len=max_len):
+        n = len(batch)
+        n_total += n
+        rec = aligner.align(batch.codes, batch.lengths)
+        best = _primary_per_read(rec, n)
+
+        # --- gather banded-alignment jobs -------------------------------
+        jobs = []      # (read_i, v_id, qstart, tstart, q_seg, t_seg)
+        for i in range(n):
+            r = int(best[i])
+            if r >= 0:
+                v = int(rec.ref_id[r])
+                if cys[v] < 0:
+                    continue
+                qs, qe = int(rec.qstart[r]), int(rec.qend[r])
+                ts, te = int(rec.tstart[r]), int(rec.tend[r])
+                if te < cys[v] - MIN_TAIL_COVER:
+                    continue    # alignment ends before the junction
+                te_c = min(te, len(v_codes[v]))
+                jobs.append((i, v, qs, ts,
+                             batch.codes[i, qs:qe].copy(),
+                             v_codes[v][ts:te_c]))
+                n_aligned += 1
+            else:
+                v = _name_v_hint(batch.names[i], v_ids)
+                if v < 0 or cys[v] < 0:
+                    continue
+                # 5' window: subread head ≈ V tail (decon window starts at
+                # qend-60 of the original V alignment)
+                vt = v_codes[v][-FALLBACK_VTAIL:]
+                qlen = int(batch.lengths[i])
+                q_seg = batch.codes[i, :min(FALLBACK_VTAIL + 8, qlen)].copy()
+                ts = len(v_codes[v]) - FALLBACK_VTAIL
+                jobs.append((i, v, 0, ts, q_seg, vt))
+                n_fallback += 1
+
+        if not jobs:
+            continue
+        cigars, scores, nms = banded_align_batch(
+            [j[4] for j in jobs], [j[5] for j in jobs], band=48)
+
+        for (i, v, qs, ts, q_seg, t_seg), cig, sc, nm in zip(
+                jobs, cigars, scores, nms):
+            if len(t_seg) and nm / max(len(t_seg), 1) > FALLBACK_MAX_NMFRAC:
+                continue
+            t_tgt = int(cys[v]) - ts
+            if t_tgt < len(t_seg):
+                q_off = cdr3mod.cigar_map_t_to_q(cig, t_tgt)
+                if q_off < 0:
+                    continue
+                pinned = True     # anchor position confirmed base-level
+            else:
+                over = t_tgt - len(t_seg)
+                if over > MAX_EXTRAPOLATE:
+                    continue
+                q_off = len(q_seg) + over   # ungapped extension
+                pinned = False
+            cys_read = qs + q_off
+            qlen = int(batch.lengths[i])
+            got = cdr3mod.extract_cdr3(batch.codes[i, :qlen], cys_read,
+                                       require_cys=not pinned)
+            if got is None:
+                continue
+            nt, aa = got
+            clean = (not aa.endswith("_")) and aa.startswith("C")
+            calls.append(ReadCall(
+                name=batch.names[i], v_name=index.names[v],
+                v_score=int(sc), chain=cdr3mod.chain_of(index.names[v]),
+                cdr3_nt=nt, cdr3_aa=aa, clean=clean))
+
+    clones, cloneID = assemble(calls)
+    write_exports(clones, cloneID, outdir, sample)
+    log(f"native clonotyper: {n_total} subreads → {n_aligned} V-aligned "
+        f"+ {n_fallback} name-hinted, {len(calls)} CDR3 calls, "
+        f"{len(clones)} clones ({time.time() - t0:.1f}s)")
+    return clones, cloneID

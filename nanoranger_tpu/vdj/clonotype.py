@@ -1,0 +1,241 @@
+"""Clonotype assembly: group CDR3 calls into clones, cluster sequencing-
+error satellites into their parent clones, export MiXCR-shaped tables.
+
+Mirrors the role of `mixcr assemble` with
+`-OclusteringFilter.specificMutationProbability=5E-2
+ -OaddReadsCountOnClustering=true` (reference scripts/mixcr.sh:12-14):
+small clones whose CDR3 is within a length-proportional edit distance of
+a larger clone are folded into it and their read counts added.
+
+Two-tier assembly: clones are FOUNDED only by clean calls (in-frame,
+Cys-anchored junctions). Rescued calls (frame-shifted or Cys-mutated —
+vdj/cdr3.extract_cdr3 rescue modes) can only JOIN an existing clone
+within an edit-distance cap; unmatched rescues are dropped. This keeps
+ONT indel artifacts from founding phantom clones while still counting
+their reads (MiXCR's analogue: low-quality reads map onto assembled
+cores during `assemble`, never seed clones).
+
+Exports reproduce the columns the reference's clone_filt_* stages consume
+(utils.py:489-581): `_clones.txt.gz` with CLONE_COLS and `_cloneID.txt.gz`
+with (descrsR1, cloneId, chains), both tab-separated like MiXCR's
+exportClones/exportAlignments output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import pandas as pd
+
+CLONE_COLUMNS = ["cloneId", "cloneCount", "chains", "aaSeqImputedCDR3",
+                 "nSeqImputedCDR3", "allVHitsWithScore",
+                 "allDHitsWithScore", "allJHitsWithScore"]
+
+
+@dataclasses.dataclass
+class ReadCall:
+    """One successful CDR3 call for one subread."""
+    name: str          # subread name (joins _cloneID.descrsR1)
+    v_name: str
+    v_score: int
+    chain: str
+    cdr3_nt: str
+    cdr3_aa: str
+    clean: bool = True  # in-frame + Cys-anchored (may found a clone)
+
+
+def lev_batch(a_strs: list, b_strs: list) -> np.ndarray:
+    """Batched Levenshtein over string pairs (a_strs[p] vs b_strs[p]).
+
+    Vectorized numpy DP using the prefix-min distance-transform identity
+    (same recurrence as ops/edit_distance._rows_scan; this host-side copy
+    serves the tiny clone-pair workload — the read-scale distances run on
+    TPU)."""
+    P = len(a_strs)
+    if P == 0:
+        return np.zeros(0, np.int32)
+    la = np.asarray([len(s) for s in a_strs], np.int32)
+    lb = np.asarray([len(s) for s in b_strs], np.int32)
+    M = max(1, int(la.max()))
+    Mb = max(1, int(lb.max()))
+    A = np.zeros((P, M), np.uint8)
+    B = np.zeros((P, Mb), np.uint8)
+    for p, s in enumerate(a_strs):
+        A[p, :len(s)] = np.frombuffer(s.encode(), np.uint8)
+    for p, s in enumerate(b_strs):
+        B[p, :len(s)] = np.frombuffer(s.encode(), np.uint8) + 1  # ≠ pad(0)
+    iota = np.arange(Mb + 1, dtype=np.int32)[None, :]
+    row = np.broadcast_to(iota, (P, Mb + 1)).copy()
+    out = np.where(la == 0, lb, 10 ** 6).astype(np.int32)
+    for i in range(1, M + 1):
+        c = (A[:, i - 1][:, None] + 1 != B).astype(np.int32)
+        t = np.minimum(row[:, :-1] + c, row[:, 1:] + 1)
+        t = np.concatenate([np.full((P, 1), i, np.int32), t], axis=1)
+        row = np.minimum.accumulate(t - iota, axis=1) + iota
+        hit = la == i
+        if hit.any():
+            out[hit] = row[hit, lb[hit]]
+    return out
+
+
+def _cluster_cap(nt_len: int) -> int:
+    """Max CDR3 edit distance for satellite→parent merging: ~5% of the
+    junction length (the 5e-2 mutation-probability knob), at least 1."""
+    return max(1, nt_len // 20)
+
+
+def _rescue_cap(nt_len: int) -> int:
+    """Looser cap for joining rescued (indel-bearing) reads to a clone."""
+    return max(2, nt_len // 10)
+
+
+RESCUE_LEN_DIFF = 6
+NESTED_MIN_NT = 24   # min exact-suffix overlap for nested-junction merge
+
+
+def _empty():
+    return (pd.DataFrame(columns=CLONE_COLUMNS),
+            pd.DataFrame(columns=["descrsR1", "cloneId", "chains"]))
+
+
+def assemble(calls: list) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Two-tier clone assembly; cloneId = rank by read count (like MiXCR).
+
+    Returns (clones_df, cloneID_df):
+      clones_df columns: CLONE_COLUMNS
+      cloneID_df columns: descrsR1, cloneId, chains
+    """
+    clean = [c for c in calls if c.clean]
+    rescued = [c for c in calls if not c.clean]
+    if not clean:
+        return _empty()
+
+    df = pd.DataFrame({
+        "name": [c.name for c in clean],
+        "v_name": [c.v_name for c in clean],
+        "v_score": [c.v_score for c in clean],
+        "chain": [c.chain for c in clean],
+        "cdr3_nt": [c.cdr3_nt for c in clean],
+        "cdr3_aa": [c.cdr3_aa for c in clean],
+    })
+    raw = df.groupby(["chain", "cdr3_nt"], sort=False).agg(
+        count=("name", "size"),
+        cdr3_aa=("cdr3_aa", "first"),
+        v_name=("v_name", lambda s: s.mode().iloc[0]),
+        v_score=("v_score", "max"),
+    ).reset_index()
+    raw = raw.sort_values("count", ascending=False, kind="stable")
+    raw = raw.reset_index(drop=True)
+    nts = raw.cdr3_nt.tolist()
+    chains = raw.chain.tolist()
+    counts = raw["count"].to_numpy().copy()
+    sizes = raw["count"].to_numpy()
+
+    # --- satellite clustering among clean clones --------------------------
+    # candidate pairs (i bigger-ranked ← j smaller), batched distances
+    pi, pj = [], []
+    for i in range(len(raw)):
+        cap = _cluster_cap(len(nts[i]))
+        for j in range(i):
+            if chains[j] == chains[i] and \
+                    abs(len(nts[i]) - len(nts[j])) <= cap and \
+                    sizes[j] >= 2 * sizes[i]:
+                pi.append(i)
+                pj.append(j)
+    dists = lev_batch([nts[i] for i in pi], [nts[j] for j in pj])
+    dist_of = {(i, j): int(d) for i, j, d in zip(pi, pj, dists)}
+
+    parent = np.arange(len(raw))
+    for i in range(len(raw)):
+        cap = _cluster_cap(len(nts[i]))
+        for j in range(i):
+            if parent[j] != j:
+                continue
+            d = dist_of.get((i, j))
+            # nested-junction merge: a V mis-assignment can anchor an
+            # earlier in-frame Cys, extending the true junction 5' — an
+            # exact long suffix relationship is the same clone
+            nested = (chains[i] == chains[j]
+                      and min(len(nts[i]), len(nts[j])) >= NESTED_MIN_NT
+                      and (nts[i].endswith(nts[j])
+                           or nts[j].endswith(nts[i])))
+            if nested or (d is not None and d <= cap):
+                parent[i] = j
+                counts[j] += counts[i]
+                counts[i] = 0
+                break
+
+    keep = np.where(parent == np.arange(len(raw)))[0]
+
+    # --- assign rescued reads to surviving clones -------------------------
+    # unique rescued junctions vs candidate clones, batched
+    res_groups: dict = {}
+    for c in rescued:
+        res_groups.setdefault((c.chain, c.cdr3_nt), []).append(c)
+    rkeys = list(res_groups)
+    qi, qk = [], []   # rescued-key index, clone (raw) index
+    for r, (ch, nt) in enumerate(rkeys):
+        for k in keep:
+            if chains[k] == ch and abs(len(nts[k]) - len(nt)) <= RESCUE_LEN_DIFF:
+                qi.append(r)
+                qk.append(int(k))
+    rdists = lev_batch([rkeys[r][1] for r in qi], [nts[k] for k in qk])
+    best_for = {}
+    for r, k, d in zip(qi, qk, rdists):
+        cap = _rescue_cap(len(rkeys[r][1]))
+        if d > cap:
+            continue
+        cur = best_for.get(r)
+        # min distance, ties to the bigger clone (counts desc = rank asc)
+        if cur is None or d < cur[0] or (d == cur[0] and k < cur[1]):
+            best_for[r] = (int(d), k)
+    rescued_assigned: list = []   # (call, raw clone index)
+    for r, (_, k) in best_for.items():
+        for call in res_groups[rkeys[r]]:
+            counts[k] += 1
+            rescued_assigned.append((call, k))
+
+    # --- final numbering ---------------------------------------------------
+    clones = raw.loc[keep].copy()
+    clones["cloneCount"] = counts[keep]
+    clones["_rawidx"] = keep
+    clones = clones.sort_values("cloneCount", ascending=False, kind="stable")
+    clones = clones.reset_index(drop=True)
+    clones["cloneId"] = np.arange(len(clones))
+    rawidx_to_id = {int(rw): int(cid) for rw, cid in
+                    zip(clones._rawidx, clones.cloneId)}
+
+    key_to_raw = {(ch, nt): i for i, (ch, nt) in
+                  enumerate(zip(chains, nts))}
+    id_rows = {"descrsR1": [], "cloneId": [], "chains": []}
+    for nm, ch, nt in zip(df.name, df.chain, df.cdr3_nt):
+        p = int(parent[key_to_raw[(ch, nt)]])
+        id_rows["descrsR1"].append(nm)
+        id_rows["cloneId"].append(rawidx_to_id[p])
+        id_rows["chains"].append(ch)
+    for call, k in rescued_assigned:
+        id_rows["descrsR1"].append(call.name)
+        id_rows["cloneId"].append(rawidx_to_id[int(k)])
+        id_rows["chains"].append(call.chain)
+
+    out_clones = pd.DataFrame({
+        "cloneId": clones.cloneId,
+        "cloneCount": clones.cloneCount.astype(float),
+        "chains": clones.chain,
+        "aaSeqImputedCDR3": clones.cdr3_aa,
+        "nSeqImputedCDR3": clones.cdr3_nt,
+        "allVHitsWithScore": [f"{v.split('|')[0]}*00({int(s)})"
+                              for v, s in zip(clones.v_name, clones.v_score)],
+        "allDHitsWithScore": "",   # no D panel bundled (MiXCR often empty)
+        "allJHitsWithScore": "",   # J identified by motif, not by gene panel
+    })
+    return out_clones, pd.DataFrame(id_rows)
+
+
+def write_exports(clones: pd.DataFrame, cloneID: pd.DataFrame,
+                  outdir: str, sample: str):
+    """MiXCR-shaped tab-separated gzip exports, consumed by
+    stages/clones.clone_filt_* unchanged."""
+    clones.to_csv(f"{outdir}/{sample}_clones.txt.gz", sep="\t", index=False)
+    cloneID.to_csv(f"{outdir}/{sample}_cloneID.txt.gz", sep="\t", index=False)

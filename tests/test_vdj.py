@@ -1,0 +1,166 @@
+"""Native VDJ clonotyper: CDR3 primitives, clustering, synthetic e2e."""
+
+import numpy as np
+import pandas as pd
+
+from nanoranger_tpu.io.encode import encode
+from nanoranger_tpu.vdj import cdr3 as cdr3mod
+from nanoranger_tpu.vdj.clonotype import (ReadCall, assemble, lev_batch,
+                                          write_exports)
+
+
+# ---------------------------------------------------------------------------
+# synthetic V genes: in-frame from ATG, single Cys in the final 15 codons
+
+def _mk_v(seed, n_prefix_codons=95, tail="GCTATCCGTGAAAAA"):
+    # random in-frame body from codons with no Cys/stop/Phe/Trp so the
+    # single TGT near the end is the conserved Cys and no spurious motif
+    safe = ["GCT", "GAA", "ACT", "CAA", "GGT", "CAT", "ATC", "CGT",
+            "AAA", "CTG", "CCA", "AGC", "GTT", "TAC", "ATG", "GAC"]
+    rng = np.random.default_rng(seed)
+    body = "".join(rng.choice(safe, n_prefix_codons - 1))
+    return "ATG" + body + "TGT" + tail        # tail: 5 codons after Cys
+
+
+V1 = _mk_v(0)
+V2 = _mk_v(1, 90, tail="CATATCAAAGGTCAT")    # C H I K G H
+MOTIF_NT = "TTTGGAACCGGT"                     # F G T G
+CREGION = "ACCAACGATCCTAGATCAGAAGCAGAGATCTCATGGAACAGCAGGATCTGAACAAA"
+
+
+def test_translate_and_cys():
+    assert cdr3mod.translate(encode("ATGTGTTTTGGA")) == "MCFG"
+    assert cdr3mod.translate(encode("ATGNNNTGA")) == "MX*"
+    v = encode(V1)
+    pos = cdr3mod.v_cys_position(v)
+    assert pos == len(V1) - 18
+    assert cdr3mod.translate(v[pos:pos + 3]) == "C"
+
+
+def test_find_motif_and_extract():
+    insert = "GCTAGA"                          # A R
+    read = V1[-120:] + insert + MOTIF_NT + CREGION
+    cys_read = 120 - 18
+    nt, aa = cdr3mod.extract_cdr3(encode(read), cys_read)
+    assert nt == V1[-18:] + insert + "TTT"
+    assert aa == "CAIREKARF"
+    # frame rescue: single deletion inside the junction still yields a call
+    broken = V1[-120:] + insert[1:] + MOTIF_NT + CREGION
+    got = cdr3mod.extract_cdr3(encode(broken), cys_read)
+    assert got is not None and got[1].endswith("_")
+    # in-frame stop kills the call
+    stopped = V1[-120:] + "TGATAA" + MOTIF_NT + CREGION
+    assert cdr3mod.extract_cdr3(encode(stopped), cys_read,
+                                frame_rescue=False) is None
+
+
+def test_cigar_map():
+    assert cdr3mod.cigar_map_t_to_q("10=", 4) == 4
+    assert cdr3mod.cigar_map_t_to_q("3=2I5=", 6) == 8   # insertion shifts q
+    assert cdr3mod.cigar_map_t_to_q("3=2D5=", 6) == 4   # deletion eats t
+    assert cdr3mod.cigar_map_t_to_q("5=", 9) == -1
+
+
+def test_lev_batch():
+    rng = np.random.default_rng(1)
+
+    def ref_lev(a, b):
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(d[j] + 1, nd[-1] + 1, d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+
+    alpha = list("ACGT")
+    a_list, b_list = [], []
+    for _ in range(40):
+        a_list.append("".join(rng.choice(alpha, rng.integers(0, 30))))
+        b_list.append("".join(rng.choice(alpha, rng.integers(1, 30))))
+    got = lev_batch(a_list, b_list)
+    want = [ref_lev(a, b) for a, b in zip(a_list, b_list)]
+    assert got.tolist() == want
+
+
+def test_assemble_two_tier():
+    def calls_of(nt, n, chain="TRB", clean=True, tag=""):
+        return [ReadCall(f"r{tag}{i}", "TRBV1-1|x", 100, chain, nt,
+                         "CXXF" + ("" if clean else "_"), clean)
+                for i in range(n)]
+
+    parent_nt = "TGT" + "GCTAGA" * 5 + "TTT"
+    sat_nt = parent_nt[:5] + "A" + parent_nt[6:]     # 1 substitution
+    rescue_nt = parent_nt[:10] + parent_nt[11:]      # 1 deletion
+    other_nt = "TGT" + "CATCGG" * 5 + "TTT"
+    calls = (calls_of(parent_nt, 8) + calls_of(sat_nt, 3, tag="s")
+             + calls_of(rescue_nt, 2, clean=False, tag="x")
+             + calls_of(other_nt, 4, chain="TRA", tag="o"))
+    clones, ids = assemble(calls)
+    assert len(clones) == 2
+    top = clones.iloc[0]
+    assert top.nSeqImputedCDR3 == parent_nt
+    assert top.cloneCount == 13          # 8 + 3 satellite + 2 rescued
+    assert clones.iloc[1].cloneCount == 4
+    assert len(ids) == 17                # every call got a cloneId
+    assert (ids[ids.chains == "TRB"].cloneId == 0).all()
+    # nested junction (exact suffix, diff V anchor) merges regardless of 2x
+    ext_nt = "TGTTATCTC" + parent_nt
+    clones2, _ = assemble(calls_of(parent_nt, 5)
+                          + calls_of(ext_nt, 4, tag="n"))
+    assert len(clones2) == 1
+    assert clones2.iloc[0].cloneCount == 9
+    # rescued calls never found clones
+    clones3, ids3 = assemble(calls_of(parent_nt, 2)
+                             + calls_of(other_nt, 3, clean=False, tag="z"))
+    assert len(clones3) == 1 and len(ids3) == 2
+
+
+def test_caller_e2e(tmp_path):
+    from nanoranger_tpu.io.fastq import FastqWriter
+    from nanoranger_tpu.vdj import call_clonotypes
+
+    insert_a = "GCTAGA"
+    insert_b = "CGGAAA"
+    read_a = V1[-130:] + insert_a + MOTIF_NT + CREGION
+    read_a_sub = read_a[:135] + ("A" if read_a[135] != "A" else "G") \
+        + read_a[136:]                                   # 1 sub in junction
+    read_a_del = V1[-130:] + insert_a[1:] + MOTIF_NT + CREGION  # frameshift
+    read_b = V2[-130:] + insert_b + MOTIF_NT + CREGION
+
+    fq = tmp_path / "subs.fastq.gz"
+    with FastqWriter(str(fq)) as w:
+        for i in range(6):
+            w.write(f"a{i}_0_100_0_TRBV9-9|x", read_a, "I" * len(read_a))
+        for i in range(2):
+            w.write(f"as{i}_0_100_0_x", read_a_sub, "I" * len(read_a_sub))
+        for i in range(2):
+            w.write(f"ad{i}_0_100_0_x", read_a_del, "I" * len(read_a_del))
+        for i in range(4):
+            w.write(f"b{i}_0_100_0_x", read_b, "I" * len(read_b))
+
+    import nanoranger_tpu.align.index as idx_mod
+    v_fa = tmp_path / "V.fa"
+    v_fa.write_text(f">TRBV9-9|x\n{V1}\n>TRAV3-3|y\n{V2}\n")
+    clones, ids = call_clonotypes(str(fq), [str(v_fa)], str(tmp_path),
+                                  "syn", log=lambda *_: None)
+    assert len(clones) == 2
+    top = clones.iloc[0]
+    assert top.chains == "TRB"
+    assert top.nSeqImputedCDR3 == V1[-18:] + insert_a + "TTT"
+    assert top.aaSeqImputedCDR3 == "CAIREKARF"
+    assert top.cloneCount == 10           # 6 + 2 substituted + 2 frameshift
+    assert clones.iloc[1].chains == "TRA"
+    assert clones.iloc[1].cloneCount == 4
+
+    # exports round-trip through the reference-shaped clone_filt + join
+    from nanoranger_tpu.stages import clones as clone_stage
+    assert clone_stage.have_mixcr_outputs("syn", str(tmp_path))
+    _, cloneID = clone_stage.clone_filt_5p10X("syn", str(tmp_path))
+    assert set(cloneID.columns) == {"chains", "cloneId"}
+    joined = clone_stage.clone_bcumi_join(
+        cloneID, [f"a{i}_0_100_0_TRBV9-9|x" for i in range(6)],
+        np.asarray(["ACGTACGTACGTACGT"] * 6), ["ACGTACGTAC"] * 6,
+        str(tmp_path / "syn_clone_bcumi.csv.gz"))
+    assert len(joined) == 6
+    assert (joined.cloneId == 0).all()
