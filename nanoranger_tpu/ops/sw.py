@@ -51,12 +51,25 @@ def _sub_scores(q_col, r_char):
     return jnp.where((q_col == PAD_CODE) | (r_char == PAD_CODE), -1, s)
 
 
-def sw_end2end(query, qlen, refs, rlen, umi_ref_offset: int):
+def sw_end2end(query, qlen, refs, rlen, umi_ref_offset: int,
+               pad_left: int | None = None,
+               full_len: int | None = None):
     """Dispatch: fused Pallas kernel on TPU (ops/pallas_sw.py), XLA scans
     on CPU. The Pallas path assumes uniform ref length == refs.shape[1]
-    (true for every whitelist: pads are fixed per chemistry)."""
+    (true for every whitelist: pads are fixed per chemistry).
+
+    pad_left (when given) asserts the padded-whitelist structure
+    N*pad_left + core + N*(Lr - umi_ref_offset): the TPU path then runs the
+    exact banded kernel over core columns only (~5x less sequential DP; N
+    columns have closed forms — see pallas_sw._sw_banded_kernel)."""
     import jax as _jax
     if _jax.default_backend() != "cpu":
+        if pad_left is not None:
+            from .pallas_sw import sw_end2end_banded_pallas
+            return sw_end2end_banded_pallas(
+                query, qlen, refs,
+                int(full_len if full_len is not None else refs.shape[1]),
+                umi_ref_offset, pad_left, interpret=False)
         from .pallas_sw import sw_end2end_pallas
         return sw_end2end_pallas(query, qlen, refs, rlen, umi_ref_offset,
                                  interpret=False)

@@ -132,7 +132,8 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
         ref_pairs = refs[jnp.clip(cand, 0, refs.shape[0] - 1)].reshape(B * K, -1)
         score, qpos, uvalid = sw_end2end(
             jnp.repeat(q, K, axis=0), jnp.repeat(qlen, K), ref_pairs,
-            jnp.full((B * K,), rlen_s, jnp.int32), c)
+            jnp.full((B * K,), rlen_s, jnp.int32), c,
+            pad_left=spec.pad_left, full_len=rlen_s)
         score = jnp.where(has.reshape(-1), score, NEG).reshape(B, K)
         qpos = qpos.reshape(B, K)
         uvalid = uvalid.reshape(B, K)

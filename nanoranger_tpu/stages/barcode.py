@@ -35,9 +35,13 @@ ACCEPT, LOW_AS, MULTIMAP, NO_CAND, BAD_UMI = 0, 1, 2, 3, 4
 
 
 def _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
-                            umi_ref_offset, umi_len, as_min, top_k):
+                            umi_ref_offset, umi_len, as_min, top_k,
+                            pad_left=None, full_len=None):
     """Shared post-screen path: exact rescoring, unique-best acceptance,
-    UMI extraction (used by both screen variants and the sharded matcher)."""
+    UMI extraction (used by both screen variants and the sharded matcher).
+    With pad_left/full_len set (TPU), refs holds only the band columns
+    [pad_left, umi_ref_offset] and the exact banded kernel runs — 5x less
+    gather traffic and sequential DP (ops/sw.sw_end2end)."""
     B, Lq = q.shape
     K = top_k
     has_cand = cand >= 0
@@ -47,7 +51,8 @@ def _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
     qlen_pairs = jnp.repeat(qlen, K)
     rlen_pairs = jnp.full((B * K,), rlen_scalar, jnp.int32)
     score, qpos, uvalid = sw_end2end(q_pairs, qlen_pairs, ref_pairs,
-                                     rlen_pairs, umi_ref_offset)
+                                     rlen_pairs, umi_ref_offset,
+                                     pad_left=pad_left, full_len=full_len)
     score = jnp.where(has_cand.reshape(-1), score, NEG).reshape(B, K)
     qpos = qpos.reshape(B, K)
     uvalid = uvalid.reshape(B, K)
@@ -84,26 +89,31 @@ def _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
 
 @functools.partial(jax.jit,
                    static_argnames=("plan", "umi_ref_offset", "umi_len",
-                                    "as_min", "top_k", "maxocc"))
+                                    "as_min", "top_k", "maxocc", "pad_left",
+                                    "full_len"))
 def _match_jit(q, qlen, refs, rlen_scalar,
                starts0, counts0, entries0, hkeys0,
                starts1, counts1, entries1, hkeys1,
-               plan, umi_ref_offset, umi_len, as_min, top_k, maxocc):
+               plan, umi_ref_offset, umi_len, as_min, top_k, maxocc,
+               pad_left=None, full_len=None):
     """Bucket-screen variant (general whitelists)."""
     cand, _ = screen(q, qlen, starts0, counts0, entries0, hkeys0,
                      starts1, counts1, entries1, hkeys1, plan, top_k,
                      maxocc)
     return _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
-                                   umi_ref_offset, umi_len, as_min, top_k)
+                                   umi_ref_offset, umi_len, as_min, top_k,
+                                   pad_left, full_len)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("nominal", "jitter", "q_delta2", "l1",
                                     "l2", "umi_ref_offset", "umi_len",
-                                    "as_min", "top_k"))
+                                    "as_min", "top_k", "pad_left",
+                                    "full_len"))
 def _match_jit_product(q, qlen, refs, rlen_scalar, planes1, planes2, pair,
                        nominal, jitter, q_delta2, l1, l2,
-                       umi_ref_offset, umi_len, as_min, top_k):
+                       umi_ref_offset, umi_len, as_min, top_k,
+                       pad_left=None, full_len=None):
     """Product-screen variant (10x-style combinatorial whitelists —
     ops/product_screen.py)."""
     from ..ops.product_screen import product_screen
@@ -114,7 +124,7 @@ def _match_jit_product(q, qlen, refs, rlen_scalar, planes1, planes2, pair,
                              top_t=max(top_k, 8), top_k=max(2 * top_k, 16))
     return _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
                                    umi_ref_offset, umi_len, as_min,
-                                   max(2 * top_k, 16))
+                                   max(2 * top_k, 16), pad_left, full_len)
 
 
 class BarcodeMatcher:
@@ -130,6 +140,10 @@ class BarcodeMatcher:
         refs_np, ref_len = wl.padded_refs(self.barcodes, spec)
         self.ref_len = int(ref_len)
         self.refs = jnp.asarray(refs_np)
+        # band columns [pad_left, umi_ref_offset] for the TPU banded
+        # rescorer (the N pads outside have closed-form DP — ops/sw)
+        self.refs_band = jnp.asarray(
+            refs_np[:, spec.pad_left:spec.umi_ref_offset + 1])
         self.plan = plan_for(spec, spec.bc_query_offset, jitter)
         self.top_k = top_k
         self.jitter = jitter
@@ -152,21 +166,27 @@ class BarcodeMatcher:
 
     def match_device(self, q, qlen):
         """Jit-composable match: returns (bc, score, status, umi, qpos)."""
+        import jax as _jax
+        banded = _jax.default_backend() != "cpu"
+        refs = self.refs_band if banded else self.refs
+        pad_left = self.spec.pad_left if banded else None
+        full_len = self.ref_len if banded else None
         if self.product is not None:
             p = self.product
             return _match_jit_product(
-                q, qlen, self.refs, jnp.int32(self.ref_len),
+                q, qlen, refs, jnp.int32(self.ref_len),
                 self._planes1, self._planes2, self._pair,
                 nominal=self.plan.nominal, jitter=self.jitter,
                 q_delta2=p.q_delta2, l1=p.l1, l2=p.l2,
                 umi_ref_offset=self.spec.umi_ref_offset,
                 umi_len=self.spec.umi_len, as_min=self.spec.as_min,
-                top_k=self.top_k)
+                top_k=self.top_k, pad_left=pad_left, full_len=full_len)
         return _match_jit(
-            q, qlen, self.refs, jnp.int32(self.ref_len), *self._tables,
+            q, qlen, refs, jnp.int32(self.ref_len), *self._tables,
             plan=self.plan, umi_ref_offset=self.spec.umi_ref_offset,
             umi_len=self.spec.umi_len, as_min=self.spec.as_min,
-            top_k=self.top_k, maxocc=self.maxocc)
+            top_k=self.top_k, maxocc=self.maxocc,
+            pad_left=pad_left, full_len=full_len)
 
     def match(self, q: np.ndarray, qlen: np.ndarray):
         """q: (B, Lq) int8 BC-UMI candidates; returns dict of numpy arrays."""

@@ -33,3 +33,36 @@ def test_pallas_sw_matches_xla(rng, trial):
     np.testing.assert_array_equal(s1, s0)
     np.testing.assert_array_equal(v1, v0)
     np.testing.assert_array_equal(qp1[v0], qp0[v0])
+
+
+@pytest.mark.parametrize("pads", [(30, 40, 16), (15, 24, 32), (16, 28, 16),
+                                  (4, 17, 16)])
+def test_banded_matches_full(rng, pads):
+    """Banded kernel (N-pad closed forms) == full kernel on every
+    chemistry's pad geometry, including linker-style non-N cores."""
+    from nanoranger_tpu.ops.pallas_sw import sw_end2end_banded_pallas
+    pad_left, pad_right, core = pads
+    Lr = pad_left + core + pad_right
+    c = pad_left + core
+    P, Lq = 24, 64
+    q = rng.integers(0, 4, size=(P, Lq)).astype(np.int8)
+    qlen = rng.integers(25, Lq + 1, size=P).astype(np.int32)
+    refs = np.full((P, Lr), 4, np.int8)
+    for p in range(P):
+        q[p, qlen[p]:] = PAD
+        bc = rng.integers(0, 4, core).astype(np.int8)
+        refs[p, pad_left:pad_left + core] = bc
+        at = int(rng.integers(0, 8))
+        ln = min(core, int(qlen[p]) - at)
+        q[p, at:at + ln] = bc[:ln]
+        if p % 3 == 0 and ln > 6:
+            q[p, at + 4] = (q[p, at + 4] + 1) % 4
+        if p % 5 == 0 and ln > 8:       # indel damage
+            q[p, at + 6:at + ln - 1] = q[p, at + 7:at + ln]
+    rlen = np.full(P, Lr, np.int32)
+    s0, qp0, v0 = map(np.asarray, sw_end2end(q, qlen, refs, rlen, c))
+    s1, qp1, v1 = map(np.asarray, sw_end2end_banded_pallas(
+        q, qlen, refs, Lr, c, pad_left, interpret=True))
+    np.testing.assert_array_equal(s1, s0)
+    np.testing.assert_array_equal(v1, v0)
+    np.testing.assert_array_equal(qp1[v0], qp0[v0])
