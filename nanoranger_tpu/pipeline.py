@@ -405,8 +405,28 @@ def _honor_jax_platforms_env():
         pass  # backend already live; too late to switch
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the pipeline compiles one program
+    per (stage, shape-bucket) and reruns are common (resume idiom,
+    multi-sample studies). Respects an existing user setting."""
+    import jax
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache = os.environ.get(
+        "NANORANGER_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "nanoranger_tpu",
+                     "xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization only
+
+
 def main(argv=None):
     _honor_jax_platforms_env()
+    _enable_compilation_cache()
     p = argparse.ArgumentParser(prog="nanoranger-tpu")
     p.add_argument("--cores", type=str, default=None)   # accepted, unused
     p.add_argument("--trns_ref", type=str)
