@@ -76,12 +76,51 @@ def iter_fastq(path: str) -> Iterator[FastqRecord]:
             yield FastqRecord(name, seq.encode("ascii"), qual.encode("ascii"))
 
 
+def _bucket_len(L: int, max_len, pad_to_multiple) -> int:
+    """Batch width policy. With pad_to_multiple set: round up to that
+    multiple (exact control for benches/tests). Default (None): round up
+    to a power of two >= 128 — few distinct widths means few XLA compile
+    buckets, which dominates cold-start time on remote-compile backends."""
+    if pad_to_multiple:
+        w = max(pad_to_multiple,
+                ((L + pad_to_multiple - 1) // pad_to_multiple)
+                * pad_to_multiple)
+    else:
+        w = 128
+        while w < L:
+            w *= 2
+    if max_len is not None:
+        w = min(w, max(max_len, 1))
+    return w
+
+
 def iter_batches(path: str, batch_size: int = 4096,
                  max_len: int | None = None,
-                 pad_to_multiple: int = 128) -> Iterator[ReadBatch]:
-    """Stream fixed-shape batches. Sequence length is padded to the batch max
-    rounded up to `pad_to_multiple` (TPU lane alignment); `max_len` truncates
-    pathological ultra-long reads if set."""
+                 pad_to_multiple: int | None = None) -> Iterator[ReadBatch]:
+    """Stream fixed-shape batches; width per _bucket_len, `max_len`
+    truncates pathological ultra-long reads. Uses the native (C++) reader
+    when available (runtime/native/fastq_reader.cpp), the Python parser
+    otherwise — identical batches either way."""
+    if max_len is not None:
+        try:
+            from ..runtime.native_lib import NativeFastqReader
+            rdr = NativeFastqReader(path, batch_size, max_len)
+        except OSError:
+            rdr = None
+        if rdr is not None:
+            try:
+                while True:
+                    out = rdr.next_batch()
+                    if out is None:
+                        return
+                    codes, lengths, names, quals = out
+                    L = _bucket_len(int(lengths.max(initial=0)), max_len,
+                                    pad_to_multiple)
+                    yield ReadBatch(np.ascontiguousarray(codes[:, :L]),
+                                    lengths, names, quals)
+            finally:
+                rdr.close()
+
     buf: list[FastqRecord] = []
     for rec in iter_fastq(path):
         buf.append(rec)
@@ -96,14 +135,16 @@ def _make_batch(records: list[FastqRecord], max_len, pad_to_multiple) -> ReadBat
     L = max((len(r.seq) for r in records), default=0)
     if max_len is not None:
         L = min(L, max_len)
-    L = max(pad_to_multiple, ((L + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple)
+    L = _bucket_len(L, max_len, pad_to_multiple)
     codes, lengths = encode_batch([r.seq for r in records], max_len=L)
+    # qual truncated with the sequence: emitted records' seq/qual lengths
+    # must match (BAM requires it), and no stage reads qual beyond length
     return ReadBatch(codes, lengths,
-                     [r.name for r in records], [r.qual for r in records])
+                     [r.name for r in records], [r.qual[:L] for r in records])
 
 
 def read_all(path: str, max_len: int | None = None,
-             pad_to_multiple: int = 128) -> ReadBatch:
+             pad_to_multiple: int | None = None) -> ReadBatch:
     """Load an entire (small) fastq as one batch — used for tests/golden runs."""
     records = list(iter_fastq(path))
     return _make_batch(records, max_len, pad_to_multiple)

@@ -17,7 +17,8 @@ import tempfile
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "native", "banded_align.cpp")
+_SRCS = [os.path.join(_HERE, "native", "banded_align.cpp"),
+         os.path.join(_HERE, "native", "fastq_reader.cpp")]
 _LIB_PATH = os.path.join(_HERE, "native", "libnrnative.so")
 
 _lib = None
@@ -27,8 +28,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-             "-o", _LIB_PATH],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", *_SRCS,
+             "-o", _LIB_PATH, "-lz"],
             check=True, capture_output=True)
         return True
     except Exception:
@@ -40,8 +41,9 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) or \
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+    if not os.path.exists(_LIB_PATH) or any(
+            os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
+            for s in _SRCS):
         if not _build():
             return None
     try:
@@ -53,10 +55,75 @@ def get_lib():
             ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.fq_open.restype = ctypes.c_void_p
+        lib.fq_open.argtypes = [ctypes.c_char_p]
+        lib.fq_next_batch.restype = ctypes.c_int
+        lib.fq_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
+        lib.fq_close.restype = None
+        lib.fq_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None
     return _lib
+
+
+class NativeFastqReader:
+    """Streaming fastq(.gz) reader backed by the C++ runtime (zlib inflate +
+    parse + base-encode in one pass). Raises OSError if the native library
+    is unavailable — callers fall back to the Python reader."""
+
+    def __init__(self, path: str, batch_size: int, max_len: int):
+        lib = get_lib()
+        if lib is None:
+            raise OSError("native runtime library unavailable")
+        self._lib = lib
+        self._h = lib.fq_open(path.encode())
+        if not self._h:
+            raise OSError(f"cannot open {path}")
+        self.batch_size = batch_size
+        self.max_len = max_len
+
+    def next_batch(self):
+        """Returns (codes (n, max_len) int8, lengths (n,) i32, names
+        list[str], quals list[bytes]) or None at EOF."""
+        B, L = self.batch_size, self.max_len
+        codes = np.empty((B, L), np.int8)
+        lengths = np.empty(B, np.int32)
+        name_cap = B * 1024
+        qual_cap = B * L
+        name_buf = np.empty(name_cap, np.uint8)
+        qual_buf = np.empty(qual_cap, np.uint8)
+        name_off = np.empty(B + 1, np.int32)
+        qual_off = np.empty(B + 1, np.int32)
+        n = self._lib.fq_next_batch(
+            self._h, B, L, codes.ctypes.data, lengths.ctypes.data,
+            name_buf.ctypes.data, name_cap, name_off.ctypes.data,
+            qual_buf.ctypes.data, qual_cap, qual_off.ctypes.data)
+        if n == 0:
+            return None
+        if n < 0:
+            raise ValueError(f"malformed fastq or arena overflow (rc={n})")
+        nb = name_buf[:name_off[n]].tobytes()
+        qb = qual_buf[:qual_off[n]].tobytes()
+        names = [nb[name_off[i]:name_off[i + 1]].decode("ascii")
+                 for i in range(n)]
+        quals = [qb[qual_off[i]:qual_off[i + 1]] for i in range(n)]
+        return codes[:n], lengths[:n], names, quals
+
+    def close(self):
+        if self._h:
+            self._lib.fq_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def banded_align_batch(q_segs: list[np.ndarray], t_segs: list[np.ndarray],

@@ -105,3 +105,51 @@ def test_chemistry_registry_complete():
     assert len(t.scan.pattern) == 54
     s = chemistry.get("3pXCR_slideseq")
     assert s.scan.pattern == "TCTCGGGAACGCTGAAGA"
+
+
+def test_native_fastq_reader_matches_python(tmp_path, rng):
+    """Native (C++) reader must produce byte-identical batches to the
+    Python parser, for gz and plain files, including truncation."""
+    import gzip as _gzip
+
+    import nanoranger_tpu.runtime.native_lib as nl
+    from nanoranger_tpu.io import fastq
+
+    if nl.get_lib() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    recs = []
+    for i in range(300):
+        n = int(rng.integers(5, 900))
+        seq = "".join(rng.choice(list("ACGTN"), n))
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 40, n))
+        recs.append((f"read-{i} extra info", seq, qual))
+    body = "".join(f"@{n}\n{s}\n+\n{q}\n" for n, s, q in recs)
+    plain = tmp_path / "a.fastq"
+    plain.write_text(body)
+    gz = tmp_path / "a.fastq.gz"
+    with _gzip.open(gz, "wt") as f:
+        f.write(body)
+
+    class _Boom:
+        def __init__(self, *a, **k):
+            raise OSError("forced python path")
+
+    for path in (str(plain), str(gz)):
+        nat = list(fastq.iter_batches(path, 128, max_len=512))
+        orig = nl.NativeFastqReader
+        nl.NativeFastqReader = _Boom
+        try:
+            py = list(fastq.iter_batches(path, 128, max_len=512))
+        finally:
+            nl.NativeFastqReader = orig
+        assert len(nat) == len(py) == 3
+        for a, b in zip(nat, py):
+            assert a.names == b.names
+            assert a.quals == b.quals
+            assert (a.lengths == b.lengths).all()
+            assert a.codes.shape == b.codes.shape
+            assert (a.codes == b.codes).all()
+    # names keep only the first whitespace token (pysam qname semantics)
+    assert nat[0].names[0] == "read-0"
