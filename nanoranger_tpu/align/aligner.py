@@ -231,71 +231,80 @@ class AlignmentRecords:
         return len(self.read_idx)
 
 
-def extract_records(chain_out: dict, index: PanelIndex,
-                    lengths: np.ndarray) -> AlignmentRecords:
-    """Host part: chains → alignment records."""
-    t = np.asarray(chain_out["t"]).astype(np.int64)
-    q = np.asarray(chain_out["q"]).astype(np.int64)
-    qpos = np.asarray(chain_out["qpos"])
-    strand = np.asarray(chain_out["strand"])
-    valid = np.asarray(chain_out["valid"])
-    f = np.asarray(chain_out["f"])
+@functools.partial(jax.jit, static_argnames=("C",))
+def _chain_summaries(t, q, qpos, strand, valid, f, root, C):
+    """Device part of record extraction: per-chain segment reductions +
+    compaction to at most C chains. Only ~C rows cross to the host — the
+    previous host-side version pulled all eight (B, A) anchor arrays back,
+    ~250 MB/batch through the device transport at production shapes."""
     B, A = t.shape
-
-    # chain labels come from the DP itself (root propagation in chain_dp)
-    lab = np.asarray(chain_out["root"])
-    lab = np.where(lab >= 0, lab, np.arange(A)[None, :])
-
-    flat_lab = (np.arange(B)[:, None] * A + lab).ravel()
     size = B * A
-    vmask = valid.ravel()
-    fl = flat_lab[vmask]
+    INF = jnp.int32(1 << 30)
+    lab = jnp.where(root >= 0, root, jnp.arange(A, dtype=jnp.int32)[None, :])
+    flat = (jnp.arange(B, dtype=jnp.int32)[:, None] * A + lab).reshape(-1)
+    vm = valid.reshape(-1)
+    flat = jnp.where(vm, flat, size)            # invalid anchors → dump slot
+    strand_f = strand.reshape(-1).astype(jnp.int32)
+    qpos_f = qpos.reshape(-1).astype(jnp.int32)
+    t_f = t.reshape(-1)
+    tt = jnp.where(strand_f == 1, t_f - STRAND_OFFSET, t_f)
 
-    # per-chain reductions
-    strand_r = strand.ravel()[vmask]
-    qpos_r = qpos.ravel()[vmask].astype(np.int64)
-    t_r = (t.ravel()[vmask])
-    rl = lengths.repeat(A)[vmask].astype(np.int64)
-    # original query coords for both strands
-    q_orig_lo = qpos_r
-    q_orig_hi = qpos_r + K
-    tt = np.where(strand_r == 1, t_r - STRAND_OFFSET, t_r)
+    def smin(v):
+        return jnp.full(size + 1, INF, jnp.int32).at[flat].min(v)
 
-    def seg_min(vals, init):
-        out = np.full(size, init, np.int64)
-        np.minimum.at(out, fl, vals)
-        return out
+    def smax(v):
+        return jnp.full(size + 1, -1, jnp.int32).at[flat].max(v)
 
-    def seg_max(vals, init):
-        out = np.full(size, init, np.int64)
-        np.maximum.at(out, fl, vals)
-        return out
+    cnt = jnp.zeros(size + 1, jnp.int32).at[flat].add(1)
+    qlo = smin(qpos_f)
+    qhi = smax(qpos_f + K)
+    tlo = smin(tt)
+    thi = smax(tt)
+    fmax = jnp.full(size + 1, NEGF, jnp.float32).at[flat].max(f.reshape(-1))
+    st = smax(strand_f)                          # uniform within a chain
 
-    cnt = np.zeros(size, np.int64)
-    np.add.at(cnt, fl, 1)
-    qlo = seg_min(q_orig_lo, 1 << 60)
-    qhi = seg_max(q_orig_hi, -1)
-    tlo = seg_min(tt, 1 << 60)
-    thi = seg_max(tt, -1)
-    fmax = np.full(size, -np.inf)
-    np.maximum.at(fmax, fl, f.ravel()[vmask])
-    st = np.full(size, -1, np.int64)
-    np.maximum.at(st, fl, strand_r)  # uniform within a chain
+    keep = (cnt[:size] >= MIN_CHAIN_CNT) & (fmax[:size] >= MIN_CHAIN_SCORE)
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    key = jnp.where(keep, jnp.arange(size, dtype=jnp.int32), INF)
+    gidx = jax.lax.sort(key)[:C]                 # kept chains, index order
+    ok = gidx < INF
+    g = jnp.where(ok, gidx, 0)
+    return dict(gidx=jnp.where(ok, gidx, -1), n_keep=n_keep,
+                cnt=cnt[g], qlo=qlo[g], qhi=qhi[g], tlo=tlo[g],
+                thi=thi[g], fmax=fmax[g], st=st[g])
 
-    keep = (cnt >= MIN_CHAIN_CNT) & (fmax >= MIN_CHAIN_SCORE)
-    gidx = np.where(keep)[0]
-    if len(gidx) == 0:
+
+def extract_records(chain_out: dict, index: PanelIndex,
+                    lengths: np.ndarray, max_records: int = 16384
+                    ) -> AlignmentRecords:
+    """Chains → alignment records: device segment reductions + compaction
+    (_chain_summaries), host-side primary/supplementary flag assignment."""
+    B, A = chain_out["t"].shape
+    s = _chain_summaries(chain_out["t"], chain_out["q"], chain_out["qpos"],
+                         chain_out["strand"], chain_out["valid"],
+                         chain_out["f"], chain_out["root"], C=max_records)
+    n_keep = int(s["n_keep"])
+    if n_keep > max_records:     # enormous chain count: re-run with room
+        s = _chain_summaries(chain_out["t"], chain_out["q"],
+                             chain_out["qpos"], chain_out["strand"],
+                             chain_out["valid"], chain_out["f"],
+                             chain_out["root"],
+                             C=int(np.ceil(n_keep / 4096)) * 4096)
+    gidx = np.asarray(s["gidx"]).astype(np.int64)
+    sel_n = int(min(n_keep, len(gidx)))
+    gidx = gidx[:sel_n]
+    if sel_n == 0:
         z = np.zeros(0, np.int64)
         return AlignmentRecords(z, z, z, z, z, z, z, z, z.astype(float), z)
 
     read_idx = gidx // A
-    score = fmax[gidx]
-    qstart = qlo[gidx]
-    qend = qhi[gidx]
-    tstart_g = tlo[gidx]
-    tend_g = thi[gidx] + K
-    chain_strand = st[gidx]
-    n_anchors = cnt[gidx]
+    score = np.asarray(s["fmax"]).astype(np.float64)[:sel_n]
+    qstart = np.asarray(s["qlo"]).astype(np.int64)[:sel_n]
+    qend = np.asarray(s["qhi"]).astype(np.int64)[:sel_n]
+    tstart_g = np.asarray(s["tlo"]).astype(np.int64)[:sel_n]
+    tend_g = np.asarray(s["thi"]).astype(np.int64)[:sel_n] + K
+    chain_strand = np.asarray(s["st"]).astype(np.int64)[:sel_n]
+    n_anchors = np.asarray(s["cnt"]).astype(np.int64)[:sel_n]
 
     # map global t back to (ref_id, local pos)
     ref_of = np.searchsorted(index.ref_offset, tstart_g, side="right") - 1

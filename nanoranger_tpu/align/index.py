@@ -39,21 +39,48 @@ class PanelIndex:
 
     @classmethod
     def build(cls, names: list, seqs: list) -> "PanelIndex":
+        from ..io.encode import PAD
+        from .minimizers import sketch_batch
+
         ref_lens = np.array([len(s) for s in seqs], dtype=np.int32)
         ref_offset = np.zeros(len(seqs), dtype=np.int64)
         if len(seqs) > 1:
             ref_offset[1:] = np.cumsum(ref_lens[:-1] + REF_SPACING)
+        R = len(seqs)
+        if R == 0:
+            z32 = np.zeros(0, np.int32)
+            return cls([], [], ref_lens, ref_offset,
+                       np.zeros(0, np.uint32), z32, z32.copy(), z32.copy())
+        # one padded sketch_batch over ALL refs: per-seq sketching compiled
+        # a fresh XLA program per unique length (dozens of panel genes =
+        # dozens of compiles); pow2-bucketed (B, L) shapes are shared
+        # across panels and runs. Identical minimizers (length-masked).
+        Lmax = int(ref_lens.max())
+        L = 128
+        while L < Lmax:
+            L *= 2
+        B = 1
+        while B < R:
+            B *= 2
+        codes = np.full((B, L), PAD, np.int8)
+        for rid, s_ in enumerate(seqs):
+            codes[rid, :len(s_)] = np.asarray(s_, np.int8)
+        lens = np.zeros(B, np.int32)
+        lens[:R] = ref_lens
+        h_b, p_b, s_b, cnt = sketch_batch(codes, lens, L)
+        h_b, p_b, s_b = np.asarray(h_b), np.asarray(p_b), np.asarray(s_b)
+        cnt = np.asarray(cnt)
         hs, ps, rs, ss = [], [], [], []
-        for rid, codes in enumerate(seqs):
-            h, p, s = sketch_seq(np.asarray(codes, np.int8))
-            hs.append(h)
-            ps.append(p.astype(np.int32))
-            rs.append(np.full(len(h), rid, np.int32))
-            ss.append(s.astype(np.int32))
-        h = np.concatenate(hs) if hs else np.zeros(0, np.uint32)
-        p = np.concatenate(ps) if ps else np.zeros(0, np.int32)
-        r = np.concatenate(rs) if rs else np.zeros(0, np.int32)
-        s = np.concatenate(ss) if ss else np.zeros(0, np.int32)
+        for rid in range(R):
+            c = int(cnt[rid])
+            hs.append(h_b[rid, :c])
+            ps.append(p_b[rid, :c])
+            rs.append(np.full(c, rid, np.int32))
+            ss.append(s_b[rid, :c])
+        h = np.concatenate(hs)
+        p = np.concatenate(ps).astype(np.int32)
+        r = np.concatenate(rs)
+        s = np.concatenate(ss).astype(np.int32)
         order = np.argsort(h, kind="stable")
         return cls(list(names), [np.asarray(x, np.int8) for x in seqs],
                    ref_lens, ref_offset,
