@@ -25,9 +25,14 @@ BGZF_EOF = bytes.fromhex(
 
 
 class BGZFWriter:
+    """tmp+rename on close: an existing BAM is always complete (safe
+    resume-on-existence; see io/fastq.FastqWriter)."""
+
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        self._f = open(path, "wb")
+        self._final_path = path
+        self._tmp = path + ".tmp"
+        self._f = open(self._tmp, "wb")
         self._buf = bytearray()
         self._coffset = 0      # compressed bytes written (= next block start)
 
@@ -62,6 +67,7 @@ class BGZFWriter:
             self._buf = bytearray()
         self._f.write(BGZF_EOF)
         self._f.close()
+        os.replace(self._tmp, self._final_path)
 
 
 def _encode_cigar(cigar: list[tuple[int, str]]) -> bytes:

@@ -59,12 +59,17 @@ def read_fasta_encoded(path: str) -> tuple[list[str], list[np.ndarray]]:
 
 
 class FastaWriter:
+    """tmp+rename on close, so an existing artifact is always complete
+    (safe resume-on-existence; see io/fastq.FastqWriter)."""
+
     def __init__(self, path: str):
+        self.path = path
+        self._tmp = path + ".tmp"
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         if path.endswith(".gz"):
-            self._f = gzip.open(path, "wb", compresslevel=4)
+            self._f = gzip.open(self._tmp, "wb", compresslevel=4)
         else:
-            self._f = open(path, "wb")
+            self._f = open(self._tmp, "wb")
 
     def write(self, name: str, seq: str | bytes):
         if isinstance(seq, str):
@@ -73,6 +78,7 @@ class FastaWriter:
 
     def close(self):
         self._f.close()
+        os.replace(self._tmp, self.path)
 
     def __enter__(self):
         return self

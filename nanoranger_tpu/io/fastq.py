@@ -151,15 +151,21 @@ def read_all(path: str, max_len: int | None = None,
 
 
 class FastqWriter:
-    """Write fastq(.gz); gz output uses a single deflate stream (pigz-free)."""
+    """Write fastq(.gz); gz output uses a single deflate stream (pigz-free).
+
+    Writes to `<path>.tmp` and renames on close: an existing artifact is
+    therefore always COMPLETE, making the resume-on-existence idiom safe
+    (the reference resumes from half-written files after a crashed tool,
+    SURVEY.md §5 — a hazard fixed here, not replicated)."""
 
     def __init__(self, path: str):
         self.path = path
+        self._tmp = path + ".tmp"
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         if path.endswith(".gz"):
-            self._f = gzip.open(path, "wb", compresslevel=4)
+            self._f = gzip.open(self._tmp, "wb", compresslevel=4)
         else:
-            self._f = open(path, "wb")
+            self._f = open(self._tmp, "wb")
 
     def write(self, name: str, seq: str | bytes, qual: str | bytes):
         if isinstance(seq, str):
@@ -170,6 +176,7 @@ class FastqWriter:
 
     def close(self):
         self._f.close()
+        os.replace(self._tmp, self.path)
 
     def __enter__(self):
         return self

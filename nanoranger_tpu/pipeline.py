@@ -72,14 +72,18 @@ def log(msg: str):
 
 class DeconRun:
     """Streamed align+decon over an input fastq, accumulating BC-UMI
-    candidates and writing subread/BCUMI artifacts."""
+    candidates and writing subread/BCUMI artifacts.
+
+    Resume: when the stage artifacts already exist (and force=False), the
+    BC-UMI candidates are reloaded from _BCUMI.fasta.gz instead of
+    recomputing — the reference's resume-on-existence idiom (SURVEY.md §5),
+    made safe here by atomic artifact writes (io writers use tmp+rename,
+    so an existing file is always complete)."""
 
     def __init__(self, spec, infile, outdir, sample, trns_ref,
-                 batch_size=2048, max_len=4096):
+                 batch_size=2048, max_len=4096, force=False):
         self.spec = spec
         t0 = time.time()
-        self.index = PanelIndex.from_fasta(trns_ref)
-        self.aligner = PanelAligner(self.index)
         sub_kind = "VDJ" if spec.name in (
             "3pXCR_slideseq", "3p10XTCR", "3p10XTCR_nuc") else "deconcat"
         self.sub_path = f"{outdir}/{sample}_{sub_kind}.fastq.gz"
@@ -89,6 +93,29 @@ class DeconRun:
         self.eds_rows: list = []
         self.raw_counts: dict = {}
         self.polyA: list = []
+        self.resumed = False
+
+        need = [self.sub_path, self.bcumi_path]
+        rc_path = f"{outdir}/{sample}_bc_read_count.csv"
+        if spec.name == "3p10XGEX":
+            need.append(rc_path)
+        if not force and all(os.path.isfile(p) for p in need):
+            from .io.fasta import iter_fasta
+            for nm, sq in iter_fasta(self.bcumi_path):
+                self.bcumi_names.append(nm)
+                self.bcumi_seqs.append(sq)
+            if spec.name == "3p10XGEX":
+                rc = pd.read_csv(rc_path, index_col=0)
+                self.raw_counts = dict(zip(rc.index, rc.iloc[:, 0]))
+            self.resumed = True
+            self.n_reads = self.n_sub = -1
+            log(f"resume: decon artifacts present, loaded "
+                f"{len(self.bcumi_seqs)} BC-UMI candidates "
+                f"({time.time() - t0:.1f}s)")
+            return
+
+        self.index = PanelIndex.from_fasta(trns_ref)
+        self.aligner = PanelAligner(self.index)
         n_reads = n_sub = 0
         fsub = fastq.FastqWriter(self.sub_path)
         fbc = FastaWriter(self.bcumi_path)
@@ -117,6 +144,8 @@ class DeconRun:
             f"({time.time() - t0:.1f}s)")
 
     def write_eds(self, outdir, sample):
+        if self.resumed:
+            return   # stats artifacts were written by the original run
         if self.spec.name == "5p10XTCR":
             pd.DataFrame(np.array(self.eds_rows, dtype=object)).to_csv(
                 f"{outdir}/{sample}_eds.csv")
@@ -133,10 +162,32 @@ class DeconRun:
                     f.write(n, s)
 
 
+def _atomic_to_csv(df, path, **kw):
+    tmp = path + ".tmp"
+    # infer compression from the FINAL name (pandas would see only .tmp)
+    kw.setdefault("compression", "gzip" if path.endswith(".gz") else None)
+    df.to_csv(tmp, **kw)
+    os.replace(tmp, path)
+
+
 def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
-                   batch=4096):
+                   batch=4096, force=False):
     """Whitelist match of accumulated candidates → per-read assignment df
-    + score histogram artifacts."""
+    + score histogram artifacts. The full assignment table persists as
+    {sample}_assignments.csv.gz (our equivalent of the reference's
+    _matching.sam stage checkpoint) and is reloaded on resume."""
+    apath = f"{outdir}/{sample}_assignments.csv.gz"
+    if not force and os.path.isfile(apath):
+        df = pd.read_csv(apath, keep_default_na=False,
+                         dtype={"name": str, "bc": str, "umi": str})
+        umi_len = spec.barcode.umi_len
+        codes, _ = encode_batch(
+            [u if u else "" for u in df.umi], max_len=umi_len)
+        res = {"umi": codes, "score": df.score.to_numpy(),
+               "status": df.status.to_numpy()}
+        log(f"resume: {len(df)} barcode assignments loaded from "
+            f"{os.path.basename(apath)}")
+        return df, res
     t0 = time.time()
     m = BarcodeMatcher(bcs_array, spec.barcode)
     Lq = 96
@@ -166,6 +217,7 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
         "score": res["score"],
         "status": status,
     })
+    _atomic_to_csv(df, apath, index=False)
     log(f"barcode match: {acc.sum()}/{len(seqs)} accepted vs "
         f"{len(bcs_array)} whitelist ({time.time() - t0:.1f}s)")
     return df, res
@@ -185,9 +237,16 @@ def dedup_outputs(spec, df, res, outdir, sample, knee_umi_name="knee"):
     return table
 
 
-def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=2048):
+def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=2048,
+                 force=False):
     """Align subreads to the genome, write the CB/UB/XT-tagged BAM
     (reference align_genome.sh + utils.py:801-827)."""
+    done = [f"{outdir}/{sample}_genome_tagged.bam",
+            f"{outdir}/{sample}_genome_tagged.bam.bai",
+            f"{outdir}/{sample}_trns_ct.csv"]
+    if not force and all(os.path.isfile(p) for p in done):
+        log("resume: tagged genome BAM present, skipping genome stage")
+        return
     t0 = time.time()
     gindex = PanelIndex.from_fasta(genome_ref)
     galigner = PanelAligner(gindex)
@@ -307,7 +366,7 @@ def _ensure_clonotypes(mode, sub_path, outdir, sample, trns_ref,
 # ---------------------------------------------------------------------------
 
 def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
-                 barcodes=None, xpecies=None, batch_size=2048):
+                 barcodes=None, xpecies=None, batch_size=2048, force=False):
     os.makedirs(outdir, exist_ok=True)
     spec = chemistry.get(mode)
     dflt = MODE_DEFAULTS[mode]
@@ -317,7 +376,8 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
     if dflt[2] and not barcodes:
         barcodes = os.path.join(DATA_DIR, dflt[2])
 
-    run = DeconRun(spec, infile, outdir, sample, trns_ref, batch_size)
+    run = DeconRun(spec, infile, outdir, sample, trns_ref, batch_size,
+                   force=force)
     run.write_eds(outdir, sample)
 
     if mode == "RTX":
@@ -327,8 +387,8 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
 
     # whitelist
     if mode == "3p10XGEX":
-        pd.Series(run.raw_counts, name="read_count").to_csv(
-            f"{outdir}/{sample}_bc_read_count.csv")
+        _atomic_to_csv(pd.Series(run.raw_counts, name="read_count"),
+                       f"{outdir}/{sample}_bc_read_count.csv")
         if barcodes and os.path.isfile(barcodes):
             bcs = whitelist.data_driven(run.raw_counts, barcodes)
         else:
@@ -345,13 +405,13 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
         return
 
     df, res = match_barcodes(spec, bcs, run.bcumi_names, run.bcumi_seqs,
-                             outdir, sample)
+                             outdir, sample, force=force)
 
     if mode == "5p10XGEX":
         dedup_outputs(spec, df, res, outdir, sample)
         if genome_ref and os.path.isfile(genome_ref):
             genome_stage(spec, outdir, sample, genome_ref,
-                         _tag_map_from_df(df))
+                         _tag_map_from_df(df), force=force)
     elif mode in ("5p10XTCR", "3p10XTCR_nuc"):
         dedup_outputs(spec, df, res, outdir, sample, knee_umi_name="knee_UMI")
         if _ensure_clonotypes(mode, run.sub_path, outdir, sample, trns_ref,
@@ -440,9 +500,12 @@ def main(argv=None):
                    choices=chemistry.names())
     p.add_argument("--xpecies", type=str)
     p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--force", default=False, action="store_true",
+                   help="recompute all stages, ignoring existing artifacts")
     a = p.parse_args(argv)
     run_pipeline(a.mode, a.infile, a.outdir, a.expname, a.trns_ref,
-                 a.genome_ref, a.barcodes, a.xpecies, a.batch_size)
+                 a.genome_ref, a.barcodes, a.xpecies, a.batch_size,
+                 force=a.force)
 
 
 if __name__ == "__main__":
