@@ -26,7 +26,6 @@ from ..align.index import STRAND_OFFSET, PanelIndex
 from ..align.minimizers import K
 from ..chemistry import ChemistrySpec
 from ..io.encode import COMPLEMENT, PAD, encode
-from ..ops.edit_distance import hw_locate
 from ..stages.barcode import ACCEPT, BarcodeMatcher
 
 MASK_LEVEL = 0.5
@@ -105,19 +104,27 @@ def _device_records(chain_out, ref_offset, lengths, S: int):
 def build_device_step(spec: ChemistrySpec, index: PanelIndex,
                       matcher: BarcodeMatcher, S: int = 2,
                       max_minimizers: int = 128):
-    """Single-chip jitted step for 5'-style chemistries (bcumi_rule 'slice').
+    """Single-chip jitted step for the 10x chemistries (5' 'slice' rules
+    and the 3' reverse rules 'rev_slice14'/'rev_nuc'/'rev_3pgex'; slideseq
+    stays on the streamed path — its polyA post-filter is host-side).
 
     Returns step(codes (B, L) int8, lengths (B,) int32) →
-      dict(bc_idx (B,S), status, score, umi (B,S,umi_len), rec_ok, counts
-      (N_bc,)). counts = accepted reads per barcode (psum-able)."""
-    assert spec.bcumi_rule == "slice", "device step covers 5' modes"
+      dict(bc_idx (B,S), status, score, umi (B,S,umi_len), rec_ok, ref_id,
+      counts (N_bc,), n_deferred). counts = accepted reads/barcode
+      (psum-able); ref_id enables host-side (gene, bc, umi) quads."""
+    rule = spec.bcumi_rule
+    assert rule in ("slice", "rev_slice14", "rev_nuc", "rev_3pgex"), \
+        f"device step does not cover bcumi_rule {rule!r}"
     from ..align.aligner import prepare_index_arrays
+    from .decon import _anchor_code, _scan_flanks
     idx_arrays = prepare_index_arrays(index)
     ref_offset = jnp.asarray(index.ref_offset.astype(np.int32))
     f = spec.flank
-    pat = jnp.asarray(encode(spec.scan.pattern))
+    pat_bytes = encode(spec.scan.pattern).tobytes()
     n_bc = len(matcher.barcodes)
     Lc = 96
+    gate_3p = spec.name in ("3pXCR_slideseq", "3p10XTCR", "3p10XTCR_nuc",
+                            "3p10XGEX")
 
     @jax.jit
     def step(codes, lengths):
@@ -133,33 +140,71 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
         ok = rec["ok"].reshape(R)
         rlen = lengths[read_idx]
 
-        # stored-orientation flank window (same math as stages/decon.py)
-        s_qstart = jnp.where(strand == 1, rlen - qend, qstart)
-        s_qend = jnp.where(strand == 1, rlen - qstart, qend)
-        a = s_qstart if f.anchor == "qstart" else s_qend
-        wstart = jnp.maximum(a + f.lo, 0)
-        wend = jnp.minimum(a + f.hi, rlen)
-        wlen = jnp.maximum(wend - wstart, 0)
+        # adapter scan over the stored-orientation flank window — the same
+        # jitted engine the streamed path uses (stages/decon._scan_flanks)
+        window, wlen, wstart, ed, gs, ge = _scan_flanks(
+            codes, lengths, read_idx, strand, qstart, qend,
+            anchor=_anchor_code(f.anchor), lo=f.lo, hi=f.hi,
+            pattern=pat_bytes, k=spec.scan.k,
+            wildcard=spec.scan.n_wildcard, pick_last=spec.scan.pick_last,
+            wsize=spec.scan.window_size, stride=spec.scan.window_stride,
+            plus_one=spec.scan.windows_plus_one)
         Wmax = f.hi - f.lo
-        j = jnp.arange(Wmax, dtype=jnp.int32)[None, :]
-        src = wstart[:, None] + j
-        pos = jnp.where(strand[:, None] == 1, rlen[:, None] - 1 - src, src)
-        base = codes[read_idx[:, None], jnp.clip(pos, 0, L - 1)]
-        comp = jnp.asarray(COMPLEMENT)
-        base = jnp.where(strand[:, None] == 1, comp[base], base)
-        window = jnp.where((j < wlen[:, None]) & ok[:, None], base, PAD)
-
-        ed, gs, ge = hw_locate(pat, window, wlen, spec.scan.k,
-                               wildcard=spec.scan.n_wildcard,
-                               pick_last=spec.scan.pick_last)
         hit = (ed >= 0) & (ed < spec.scan.max_ed_exclusive) & ok
 
-        # bcumi = window[gs:ge] (inclusive-end slice convention)
+        # per-mode subread gate (3' modes emit BC-UMI only when the
+        # subread is accepted, stages/decon.py accept_bc &= accept_sub)
+        s_qstart = jnp.where(strand == 1, rlen - qend, qstart)
+        s_qend = jnp.where(strand == 1, rlen - qstart, qend)
+        if gate_3p:
+            sub = spec.subread
+            sa = s_qstart if sub.start_anchor == "qstart" else s_qend
+            ea = s_qstart if sub.end_anchor == "qstart" else s_qend
+            sub_strt = sa + sub.start_ofs
+            if sub.start_clamp0:
+                sub_strt = jnp.maximum(sub_strt, 0)
+            sub_end = ea + sub.end_ofs
+            if sub.end_clamp_len:
+                sub_end = jnp.minimum(sub_end, rlen)
+            sub_len = jnp.maximum(sub_end - sub_strt, 0)
+            acc_sub = sub_len > sub.min_len if sub.min_len else \
+                jnp.ones((R,), bool)
+            if spec.subread_requires == "qlen100":
+                acc_sub = acc_sub & ((s_qend - s_qstart) > 100)
+            hit = hit & acc_sub
+
+        # BC-UMI slice per rule (same math as stages/decon.py)
+        gs_ = jnp.where(hit, gs, 0)
+        ge_ = jnp.where(hit, ge, 0)
+        if rule == "slice":
+            b_lo, b_hi, do_rev, post = gs_, ge_, False, 0
+        elif rule == "rev_slice14":
+            b_lo, b_hi, do_rev, post = gs_, ge_, True, 14
+        elif rule == "rev_nuc":
+            b_lo, b_hi, do_rev, post = gs_ - 35, ge_ - 12, True, 0
+            hit = hit & (gs_ >= 35)            # python wraparound → reject
+        else:                                   # rev_3pgex
+            b_lo, b_hi, do_rev, post = gs_ - 32, gs_ + 3, True, 0
+            hit = hit & (gs_ >= 32)
+        b_hi = jnp.minimum(b_hi, wlen)
+        b_lo = jnp.clip(b_lo, 0, None)
+        b_len = jnp.maximum(b_hi - b_lo, 0)
+        eff_len = jnp.maximum(b_len - post, 0)
+        if spec.bcumi_min_len:
+            hit = hit & (eff_len > spec.bcumi_min_len)
+
         jj = jnp.arange(Lc, dtype=jnp.int32)[None, :]
-        bidx = jnp.clip(gs[:, None] + jj, 0, Wmax - 1)
-        blen = jnp.where(hit, jnp.clip(ge - gs, 0, Lc), 0)
-        cand = jnp.where(jj < blen[:, None],
-                         jnp.take_along_axis(window, bidx, axis=1), PAD)
+        blen = jnp.where(hit, jnp.clip(eff_len, 0, Lc), 0)
+        if do_rev:
+            src = b_hi[:, None] - 1 - (jj + post)
+            comp = jnp.asarray(COMPLEMENT)
+            vals = comp[jnp.take_along_axis(
+                window, jnp.clip(src, 0, Wmax - 1), axis=1)]
+        else:
+            src = b_lo[:, None] + jj
+            vals = jnp.take_along_axis(window, jnp.clip(src, 0, Wmax - 1),
+                                       axis=1)
+        cand = jnp.where(jj < blen[:, None], vals, PAD)
 
         # hit compaction: the whitelist match is the step's dominant cost
         # and most of the R = B*S slots carry no adapter hit (second chain
@@ -189,6 +234,7 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
                 "score": score.reshape(B, S),
                 "umi": umi.reshape(B, S, -1),
                 "rec_ok": ok.reshape(B, S),
+                "ref_id": rec["ref_id"].reshape(B, S),
                 "counts": counts,
                 "n_deferred": n_deferred}
 

@@ -22,7 +22,7 @@ def test_pallas_matches_jnp(rng, wildcard, pick_last):
         texts[b, lengths[b]:] = PAD
     # plant the pattern in some rows to exercise real hits
     for b in range(0, B, 3):
-        p0 = int(rng.integers(0, lengths[b] - m))
+        p0 = int(rng.integers(0, max(1, lengths[b] - m)))
         texts[b, p0:p0 + m] = pattern
     k = 6
     d0, s0, e0 = map(np.asarray, hw_locate(pattern, texts, lengths, k,
