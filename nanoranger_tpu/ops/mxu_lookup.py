@@ -40,19 +40,16 @@ def build_window_planes(arrays: list[np.ndarray], occ: int) -> np.ndarray:
 
 def windowed_lookup(starts: jnp.ndarray, W: jnp.ndarray, n_arrays: int,
                     occ: int) -> list[jnp.ndarray]:
-    """Device: rows W[starts] via one-hot matmul; returns per-array windows
+    """Device: rows W[starts]; returns per-array windows
     [(N, occ) int32 (bit-exact uint32 reinterpreted), ...].
 
-    On CPU the one-hot is NOT fused by XLA (it materializes N×E_pad), so a
-    plain row gather is used there instead — same results."""
+    Uses a plain row gather: measured on v5e, XLA's row gather beats the
+    one-hot int8-matmul formulation at every panel size tried (3.8 ms vs
+    4.8–10.9 ms for N=512k rows, E=1.3k–8k), and the matmul cost grows
+    with E while the gather does not."""
     N = starts.shape[0]
     E_pad = W.shape[0]
-    if jax.default_backend() == "cpu":
-        raw = W[jnp.clip(starts, 0, E_pad - 1)].astype(jnp.int32)
-    else:
-        oh = jax.nn.one_hot(starts, E_pad, dtype=jnp.int8)
-        raw = jax.lax.dot_general(oh, W, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
+    raw = W[jnp.clip(starts, 0, E_pad - 1)].astype(jnp.int32)
     out = []
     for a in range(n_arrays):
         base = a * occ * 4
