@@ -170,8 +170,32 @@ def _atomic_to_csv(df, path, **kw):
     os.replace(tmp, path)
 
 
+def _sharded_match_fn(spec, bcs_array, wl_shards):
+    """Multi-chip whitelist matcher: shards the whitelist over `wl_shards`
+    devices via parallel/sharded.build_sharded_match (ICI all-gather of
+    per-shard best/runner summaries; psum'd counts). Returns a callable
+    with the BarcodeMatcher.match signature."""
+    import jax
+    from .parallel.sharded import (ShardedWhitelist, build_sharded_match,
+                                   make_mesh)
+    mesh = make_mesh(1, wl_shards)
+    swl = ShardedWhitelist(bcs_array, spec.barcode, wl_shards)
+    arrs = swl.device_arrays(mesh)
+    fn = build_sharded_match(swl, mesh)
+
+    def match(q, qlen):
+        bc, score, status, umi, _ = fn(
+            q, qlen, arrs["refs"], arrs["n_real"], arrs["offsets"],
+            arrs["starts0"], arrs["counts0"], arrs["entries0"],
+            arrs["hkeys0"], arrs["starts1"], arrs["counts1"],
+            arrs["entries1"], arrs["hkeys1"])
+        return {"bc_idx": np.asarray(bc), "score": np.asarray(score),
+                "status": np.asarray(status), "umi": np.asarray(umi)}
+    return match
+
+
 def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
-                   batch=4096, force=False):
+                   batch=4096, force=False, wl_shards=1):
     """Whitelist match of accumulated candidates → per-read assignment df
     + score histogram artifacts. The full assignment table persists as
     {sample}_assignments.csv.gz (our equivalent of the reference's
@@ -190,11 +214,15 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
         return df, res
     t0 = time.time()
     m = BarcodeMatcher(bcs_array, spec.barcode)
+    match = m.match
+    if wl_shards > 1:
+        match = _sharded_match_fn(spec, bcs_array, wl_shards)
+        log(f"whitelist sharded over {wl_shards} devices")
     Lq = 96
     all_res = {k: [] for k in ("bc_idx", "score", "status", "umi")}
     for s in range(0, len(seqs), batch):
         q, qlen = encode_batch(seqs[s:s + batch], max_len=Lq)
-        r = m.match(q, qlen)
+        r = match(q, qlen)
         for k in all_res:
             all_res[k].append(r[k])
     res = {k: np.concatenate(v) if v else np.zeros(0, np.int32)
@@ -366,7 +394,8 @@ def _ensure_clonotypes(mode, sub_path, outdir, sample, trns_ref,
 # ---------------------------------------------------------------------------
 
 def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
-                 barcodes=None, xpecies=None, batch_size=2048, force=False):
+                 barcodes=None, xpecies=None, batch_size=2048, force=False,
+                 wl_shards=1):
     os.makedirs(outdir, exist_ok=True)
     spec = chemistry.get(mode)
     dflt = MODE_DEFAULTS[mode]
@@ -405,7 +434,8 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
         return
 
     df, res = match_barcodes(spec, bcs, run.bcumi_names, run.bcumi_seqs,
-                             outdir, sample, force=force)
+                             outdir, sample, force=force,
+                             wl_shards=wl_shards)
 
     if mode == "5p10XGEX":
         dedup_outputs(spec, df, res, outdir, sample)
@@ -502,10 +532,13 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--force", default=False, action="store_true",
                    help="recompute all stages, ignoring existing artifacts")
+    p.add_argument("--wl_shards", type=int, default=1,
+                   help="shard the whitelist match over this many devices "
+                        "(jax.sharding mesh; 1 = single device)")
     a = p.parse_args(argv)
     run_pipeline(a.mode, a.infile, a.outdir, a.expname, a.trns_ref,
                  a.genome_ref, a.barcodes, a.xpecies, a.batch_size,
-                 force=a.force)
+                 force=a.force, wl_shards=a.wl_shards)
 
 
 if __name__ == "__main__":
