@@ -3,7 +3,6 @@
 Replaces the reference's seqkit-split + per-shard pysam fastq handling
 (reference pipeline.py:76-151): instead of materializing N shard files, we
 stream records and emit padded (B, L) int8 batches with length/ID sidecars.
-Multi-host sharding assigns record ranges round-robin (see parallel/).
 """
 
 from __future__ import annotations

@@ -95,7 +95,11 @@ class DeconRun:
         self.polyA: list = []
         self.resumed = False
 
-        need = [self.sub_path, self.bcumi_path]
+        # resume requires the stats artifacts too: a crash between the
+        # decon writers closing and write_eds() would otherwise leave the
+        # eds/polyA stats permanently missing without --force
+        need = [self.sub_path, self.bcumi_path] + \
+            self.eds_artifacts(outdir, sample)
         rc_path = f"{outdir}/{sample}_bc_read_count.csv"
         if spec.name == "3p10XGEX":
             need.append(rc_path)
@@ -143,20 +147,34 @@ class DeconRun:
             f"{len(self.bcumi_seqs)} BC-UMI candidates "
             f"({time.time() - t0:.1f}s)")
 
+    def eds_artifacts(self, outdir, sample) -> list:
+        """Mode-specific stats artifacts write_eds produces (resume set)."""
+        n = self.spec.name
+        if n in ("5p10XTCR", "3p10XTCR"):
+            return [f"{outdir}/{sample}_eds.csv"]
+        if n == "3pXCR_slideseq":
+            return [f"{outdir}/{sample}_eds_names.csv.gz",
+                    f"{outdir}/{sample}_polyA.fasta.gz"]
+        return []
+
     def write_eds(self, outdir, sample):
         if self.resumed:
             return   # stats artifacts were written by the original run
         if self.spec.name == "5p10XTCR":
-            pd.DataFrame(np.array(self.eds_rows, dtype=object)).to_csv(
-                f"{outdir}/{sample}_eds.csv")
+            _atomic_to_csv(pd.DataFrame(np.array(self.eds_rows, dtype=object)),
+                           f"{outdir}/{sample}_eds.csv")
         elif self.spec.name == "3p10XTCR":
             v, c = np.unique(np.asarray(self.eds_rows), return_counts=True)
             df = pd.DataFrame({0: v, 1: c}).sort_values(1, ascending=False)
-            df.to_csv(f"{outdir}/{sample}_eds.csv")
+            _atomic_to_csv(df, f"{outdir}/{sample}_eds.csv")
         elif self.spec.name == "3pXCR_slideseq":
-            pd.DataFrame({0: [n for n, _ in self.polyA],
-                          1: [0] * len(self.polyA)}).to_csv(
-                f"{outdir}/{sample}_eds_names.csv", index=None)
+            # per-hit edit distances for ALL pre-filter adapter hits,
+            # names with the fasta '>' prefix (utils.py:459-461; the
+            # reference pigzes the csv, so the artifact is .csv.gz)
+            _atomic_to_csv(pd.DataFrame(
+                {0: [n for n, _ in self.eds_rows],
+                 1: [d for _, d in self.eds_rows]}),
+                f"{outdir}/{sample}_eds_names.csv.gz", index=None)
             with FastaWriter(f"{outdir}/{sample}_polyA.fasta.gz") as f:
                 for n, s in self.polyA:
                     f.write(n, s)
@@ -194,24 +212,51 @@ def _sharded_match_fn(spec, bcs_array, wl_shards):
     return match
 
 
+def _match_fingerprint(spec, bcs_array, names):
+    """Cheap identity of a barcode-match run: candidate set + whitelist +
+    chemistry. A checkpoint from a different input/whitelist/mode must not
+    be resumed (stale-assignments hazard)."""
+    import hashlib
+    h = hashlib.sha1()
+    for n in names[:128] + names[-128:]:
+        h.update(n.encode())
+    return {"spec": spec.name, "n_candidates": len(names),
+            "n_whitelist": int(len(bcs_array)),
+            "names_sha1": h.hexdigest()}
+
+
 def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
                    batch=4096, force=False, wl_shards=1):
     """Whitelist match of accumulated candidates → per-read assignment df
     + score histogram artifacts. The full assignment table persists as
     {sample}_assignments.csv.gz (our equivalent of the reference's
-    _matching.sam stage checkpoint) and is reloaded on resume."""
+    _matching.sam stage checkpoint) and is reloaded on resume when the
+    run fingerprint (input candidates + whitelist + chemistry) matches."""
     apath = f"{outdir}/{sample}_assignments.csv.gz"
+    mpath = apath + ".meta.json"
+    fp = _match_fingerprint(spec, bcs_array, names)
     if not force and os.path.isfile(apath):
-        df = pd.read_csv(apath, keep_default_na=False,
-                         dtype={"name": str, "bc": str, "umi": str})
-        umi_len = spec.barcode.umi_len
-        codes, _ = encode_batch(
-            [u if u else "" for u in df.umi], max_len=umi_len)
-        res = {"umi": codes, "score": df.score.to_numpy(),
-               "status": df.status.to_numpy()}
-        log(f"resume: {len(df)} barcode assignments loaded from "
-            f"{os.path.basename(apath)}")
-        return df, res
+        meta = None
+        if os.path.isfile(mpath):
+            with open(mpath) as f:
+                meta = json.load(f)
+        if meta != fp:
+            log("resume: assignments checkpoint fingerprint mismatch "
+                "(different input/whitelist/chemistry) — recomputing")
+        else:
+            df = pd.read_csv(apath, keep_default_na=False,
+                             dtype={"name": str, "bc": str, "umi": str})
+            umi_len = spec.barcode.umi_len
+            codes, _ = encode_batch(
+                [u if u else "" for u in df.umi], max_len=umi_len)
+            bc_of = {b: i for i, b in enumerate(bcs_array)}
+            res = {"umi": codes, "score": df.score.to_numpy(),
+                   "status": df.status.to_numpy(),
+                   "bc_idx": np.asarray([bc_of.get(b, -1) for b in df.bc],
+                                        np.int32)}
+            log(f"resume: {len(df)} barcode assignments loaded from "
+                f"{os.path.basename(apath)}")
+            return df, res
     t0 = time.time()
     m = BarcodeMatcher(bcs_array, spec.barcode)
     match = m.match
@@ -246,6 +291,10 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
         "status": status,
     })
     _atomic_to_csv(df, apath, index=False)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(fp, f)
+    os.replace(tmp, mpath)
     log(f"barcode match: {acc.sum()}/{len(seqs)} accepted vs "
         f"{len(bcs_array)} whitelist ({time.time() - t0:.1f}s)")
     return df, res
@@ -341,6 +390,14 @@ def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=2048,
 
 
 def _load_whitelist(path, spec_name):
+    if not path or not os.path.isfile(path):
+        # the bundled data ships without 3M-february-2018.txt.gz (stripped
+        # large blob, reference .MISSING_LARGE_BLOBS:1) — fail with a clear
+        # message instead of a FileNotFoundError traceback
+        raise SystemExit(
+            f"[nanoranger-tpu] whitelist not found: {path!r}. Mode "
+            f"{spec_name} needs --barcodes pointing at a whitelist "
+            "(.txt/.txt.gz/.tsv.gz) or a cell-called 10x .h5.")
     min_genes = 4 if spec_name == "3p10XTCR_nuc" else 20
     return whitelist.load(path, min_genes=min_genes)
 

@@ -253,7 +253,12 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
 
     # slideseq extra plumbing: polyA + post filter (utils.py:443-474)
     polyA_rows = []
+    slideseq_pre_rows = np.zeros(0, np.int64)
     if rule == "rev_slideseq":
+        # _eds_names rows are every adapter hit BEFORE the post filter
+        # (utils.py:451-461: c_eds/newnames append on hit; the length/polyA
+        # filter only gates _BCUMI/_polyA emission)
+        slideseq_pre_rows = np.where(accept_bc)[0]
         pa_hi = np.maximum(b_lo + 5, 0)          # dd[:upstart+5]
         select_len = b_len
         pa_len = np.minimum(pa_hi, wlen)
@@ -333,18 +338,24 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
             polyA_rows.append((bc_names[-1],
                                decode(np.asarray(pa, np.int8), len(pa))))
 
-    # eds stats rows (mode-specific, SURVEY.md §5 observability)
+    # eds stats rows (mode-specific, SURVEY.md §5 observability).
+    # 5p10XGEX computes no eds artifact — the reference's decon_5p10XGEX
+    # writes only _deconcat/_BCUMI (utils.py:173-176).
     eds_rows = []
-    if spec.name in ("5p10XGEX", "5p10XTCR"):
+    if spec.name == "5p10XTCR":
         lclip = -spec.flank.lo
         for r in np.where(hit)[0]:
             start_corr = (lclip - gs[r]) if s_qstart[r] > lclip else (s_qstart[r] - gs[r])
-            row = [int(start_corr), int(bge[r] - bgs[r]), int(ed[r])]
-            if spec.name == "5p10XTCR":
-                row.insert(1, ref_names[rec.ref_id[r]])
-            eds_rows.append(row)
+            eds_rows.append([int(start_corr), ref_names[rec.ref_id[r]],
+                             int(bge[r] - bgs[r]), int(ed[r])])
     elif spec.name == "3p10XTCR":
         eds_rows = [int(x) for x in ed]                     # every record
+    elif spec.name == "3pXCR_slideseq":
+        # (name-with-'>' , editDistance) per pre-filter hit — the exact
+        # rows the reference accumulates for _eds_names.csv
+        # (newnamef carries the fasta '>' prefix, utils.py:426,459-461)
+        eds_rows = [(">" + fmt_name(r), int(ed[r]))
+                    for r in slideseq_pre_rows]
 
     return DeconResult(sub_rows, sub_names, sub_seqs, sub_quals,
                        bc_rows, bc_names, bc_seqs, eds_rows, raw_counts,

@@ -236,6 +236,16 @@ def assemble(calls: list) -> tuple[pd.DataFrame, pd.DataFrame]:
 def write_exports(clones: pd.DataFrame, cloneID: pd.DataFrame,
                   outdir: str, sample: str):
     """MiXCR-shaped tab-separated gzip exports, consumed by
-    stages/clones.clone_filt_* unchanged."""
-    clones.to_csv(f"{outdir}/{sample}_clones.txt.gz", sep="\t", index=False)
-    cloneID.to_csv(f"{outdir}/{sample}_cloneID.txt.gz", sep="\t", index=False)
+    stages/clones.clone_filt_* unchanged.
+
+    Atomic (tmp + rename, both files written before either rename):
+    these exact files are the clone-stage resume sentinel
+    (stages/clones.have_mixcr_outputs), so a crash mid-write must never
+    leave a truncated gzip that later runs treat as complete."""
+    import os
+    paths = [f"{outdir}/{sample}_clones.txt.gz",
+             f"{outdir}/{sample}_cloneID.txt.gz"]
+    for df, path in zip((clones, cloneID), paths):
+        df.to_csv(path + ".tmp", sep="\t", index=False, compression="gzip")
+    for path in paths:
+        os.replace(path + ".tmp", path)
