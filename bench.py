@@ -94,6 +94,9 @@ def main():
 
     step, codes, lengths, n = _setup()
     reads_per_s, out = _measure(step, codes, lengths, n, iters=5)
+    # invariant: the spill pass matches every adapter hit (no silent
+    # deferral — stages/device_step.py budget + conditional second pass)
+    assert int(np.asarray(out["n_deferred"])) == 0, "deferred hits in bench"
     acc = int((np.asarray(out["status"]) == 0).sum())
     vs = round(reads_per_s / baseline, 2) if baseline else None
     print(json.dumps({

@@ -208,24 +208,48 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
 
         # hit compaction: the whitelist match is the step's dominant cost
         # and most of the R = B*S slots carry no adapter hit (second chain
-        # slots are mostly empty). Sort hits to the front and match only a
-        # fixed M = 0.75*R budget (mean 1.5 adapter hits per read; typical
-        # is <1). n_deferred reports any overflow (those slots fall back to
-        # status 5 below and are visible to the caller).
+        # slots are mostly empty). Sort hits to the front and match a fixed
+        # M = 0.75*R budget (mean 1.5 adapter hits per read; typical is
+        # <1); on adapter-rich batches (concatemers, README.md:21) a
+        # conditional SECOND pass matches the spill slots, so every
+        # adapter hit is always matched — n_deferred is 0 by construction
+        # and kept only as an invariant for callers to assert.
         M = max(1, (3 * R) // 4)
         sort_key = jnp.where(hit, 0, 1).astype(jnp.int32)
         _, perm = jax.lax.sort(
             (sort_key, jnp.arange(R, dtype=jnp.int32)), num_keys=1)
         sel = perm[:M]
+        spill = perm[M:]
         bc_m, score_m, status_m, umi_m, _ = matcher.match_device(
             cand[sel].astype(jnp.int8), blen[sel])
-        bc_idx = jnp.full((R,), -1, jnp.int32).at[sel].set(bc_m)
-        score = jnp.full((R,), -(1 << 20), jnp.int32).at[sel].set(score_m)
-        status = jnp.full((R,), 5, jnp.int32).at[sel].set(status_m)
-        umi = jnp.full((R, umi_m.shape[1]), PAD, umi_m.dtype).at[sel].set(umi_m)
+        n_spill = jnp.sum(hit[spill])
+        R2 = R - M
+
+        def run_spill(_):
+            b, s, st, u, _q = matcher.match_device(
+                cand[spill].astype(jnp.int8), blen[spill])
+            return b, s, st, u
+
+        def no_spill(_):
+            return (jnp.full((R2,), -1, jnp.int32),
+                    jnp.full((R2,), -(1 << 20), jnp.int32),
+                    jnp.full((R2,), 5, jnp.int32),
+                    jnp.full((R2, umi_m.shape[1]), PAD, umi_m.dtype))
+
+        bc_s, score_s, status_s, umi_s = jax.lax.cond(
+            n_spill > 0, run_spill, no_spill, operand=None)
+
+        bc_idx = jnp.full((R,), -1, jnp.int32).at[sel].set(bc_m) \
+            .at[spill].set(bc_s)
+        score = jnp.full((R,), -(1 << 20), jnp.int32).at[sel].set(score_m) \
+            .at[spill].set(score_s)
+        status = jnp.full((R,), 5, jnp.int32).at[sel].set(status_m) \
+            .at[spill].set(status_s)
+        umi = jnp.full((R, umi_m.shape[1]), PAD, umi_m.dtype) \
+            .at[sel].set(umi_m).at[spill].set(umi_s)
 
         status = jnp.where(hit, status, 5)          # 5 = no adapter
-        n_deferred = jnp.sum(hit) - jnp.sum(hit[sel])
+        n_deferred = jnp.sum(hit) - jnp.sum(hit[sel]) - jnp.sum(hit[spill])
         accepted = status == ACCEPT
         counts = jnp.zeros((n_bc,), jnp.int32).at[
             jnp.clip(bc_idx, 0, n_bc - 1)].add(accepted.astype(jnp.int32))
