@@ -212,7 +212,6 @@ def build_sharded_align(spec, index, mesh, max_minimizers=128, S=2):
     from ..io.encode import encode as _encode
 
     idx_arrays = prepare_index_arrays(index)
-    ref_offset = jnp.asarray(index.ref_offset.astype(_np.int32))
     f = spec.flank
     pat = jnp.asarray(_encode(spec.scan.pattern))
     Lc = 96
@@ -221,7 +220,7 @@ def build_sharded_align(spec, index, mesh, max_minimizers=128, S=2):
         B, L = codes.shape
         chain_out = seed_and_chain(codes, lengths, *idx_arrays,
                                    max_minimizers=max_minimizers)
-        rec = _device_records(chain_out, ref_offset, lengths, S)
+        rec = _device_records(chain_out, lengths, S)
         R = B * S
         read_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
         strand = rec["strand"].reshape(R)

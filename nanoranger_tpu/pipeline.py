@@ -68,6 +68,34 @@ def log(msg: str):
     print(f"[nanoranger-tpu] {msg}", flush=True)
 
 
+class Telemetry:
+    """Machine-readable per-stage run telemetry (SURVEY.md §5: 'real step
+    timing + reads/s counters' — the reference only has print-every-N).
+    Written atomically as {sample}_runstats.json at pipeline exit."""
+
+    def __init__(self, mode: str, infile: str):
+        self.t0 = time.time()
+        self.doc = {"mode": mode, "infile": infile, "stages": []}
+
+    def stage(self, name: str, seconds: float, reads: int | None = None,
+              **extra):
+        row = {"stage": name, "seconds": round(seconds, 3)}
+        if reads is not None and reads >= 0:
+            row["reads"] = int(reads)
+            if seconds > 0:
+                row["reads_per_s"] = round(reads / seconds, 1)
+        row.update(extra)
+        self.doc["stages"].append(row)
+
+    def write(self, outdir: str, sample: str):
+        self.doc["total_seconds"] = round(time.time() - self.t0, 3)
+        path = f"{outdir}/{sample}_runstats.json"
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.doc, f, indent=1)
+        os.replace(tmp, path)
+
+
 # ---------------------------------------------------------------------------
 
 class DeconRun:
@@ -314,23 +342,28 @@ def dedup_outputs(spec, df, res, outdir, sample, knee_umi_name="knee"):
     return table
 
 
-def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=2048,
+def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=512,
                  force=False):
-    """Align subreads to the genome, write the CB/UB/XT-tagged BAM
-    (reference align_genome.sh + utils.py:801-827)."""
+    """Align subreads to the genome with the splice preset, write the
+    CB/UB/XT-tagged BAM (reference align_genome.sh `minimap2 -x splice` +
+    utils.py:801-827). Intron-spanning chains are split into exon blocks
+    (align/aligner.extract_exons); each exon is base-level aligned by the
+    native banded DP and the gaps between exons become N CIGAR ops."""
     done = [f"{outdir}/{sample}_genome_tagged.bam",
             f"{outdir}/{sample}_genome_tagged.bam.bai",
             f"{outdir}/{sample}_trns_ct.csv"]
     if not force and all(os.path.isfile(p) for p in done):
         log("resume: tagged genome BAM present, skipping genome stage")
         return
+    import re
     t0 = time.time()
     gindex = PanelIndex.from_fasta(genome_ref)
-    galigner = PanelAligner(gindex)
+    galigner = PanelAligner(gindex, preset="splice")
     sub_path = f"{outdir}/{sample}_deconcat.fastq.gz"
+    from .io.encode import COMPLEMENT
     rows = []
     for batch in fastq.iter_batches(sub_path, batch_size, max_len=4096):
-        rec = galigner.align(batch.codes, batch.lengths)
+        rec, exons = galigner.align_with_exons(batch.codes, batch.lengths)
         prim = rec.flag < 20                     # utils.py:812
         for r in np.where(prim)[0]:
             i = int(rec.read_idx[r])
@@ -338,49 +371,56 @@ def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=2048,
             if name not in tag_map:
                 continue
             rows.append((int(rec.ref_id[r]), int(rec.tstart[r]),
-                         int(rec.tend[r]), int(rec.qstart[r]),
-                         int(rec.qend[r]), int(rec.flag[r]), name,
+                         int(rec.flag[r]), name, exons[r],
                          batch.codes[i, :batch.lengths[i]].copy(),
                          batch.quals[i]))
     rows.sort(key=lambda x: (x[0], x[1]))
-    # base-level CIGARs through the native banded aligner
-    from .io.encode import COMPLEMENT
-    q_segs, t_segs = [], []
-    for (rid, ts, te, qs, qe, flag, name, codes, qual) in rows:
-        if flag & 16:
-            stored = COMPLEMENT[codes][::-1]
-            sqs, sqe = len(codes) - qe, len(codes) - qs
-        else:
-            stored = codes
-            sqs, sqe = qs, qe
-        q_segs.append(stored[sqs:sqe])
-        t_segs.append(gindex.seq_codes[rid][ts:te])
+    # base-level per-exon CIGARs through the native banded aligner (exon
+    # q coords from extract_exons are already in stored orientation)
+    q_segs, t_segs, seg_of = [], [], []
+    for (rid, ts, flag, name, blocks, codes, qual) in rows:
+        stored = COMPLEMENT[codes][::-1] if flag & 16 else codes
+        lo = len(q_segs)
+        for (t_lo, t_hi, q_lo, q_hi) in blocks:
+            q_segs.append(stored[q_lo:q_hi])
+            t_segs.append(gindex.seq_codes[rid][t_lo:t_hi])
+        seg_of.append(slice(lo, len(q_segs)))
     cigars, scores, nms = banded_align_batch(q_segs, t_segs, band=160)
 
     bam_path = f"{outdir}/{sample}_genome_tagged.bam"
     all_trns = []
+    cig_re = re.compile(r"(\d+)([=XIDN])")
     with BAMWriter(bam_path, gindex.names,
                    [len(s) for s in gindex.seq_codes], index=True) as w:
-        for k, (rid, ts, te, qs, qe, flag, name, codes, qual) in enumerate(rows):
+        for k, (rid, ts, flag, name, blocks, codes, qual) in enumerate(rows):
             cb, ub, xt = tag_map[name]
             if flag & 16:
                 stored = COMPLEMENT[codes][::-1]
                 squal = qual[::-1]
-                sqs, sqe = len(codes) - qe, len(codes) - qs
             else:
                 stored, squal = codes, qual
-                sqs, sqe = qs, qe
+            sl = seg_of[k]
             cig = []
-            if sqs:
-                cig.append((sqs, "S"))
-            import re
-            cig += [(int(n), op) for n, op in
-                    re.findall(r"(\d+)([=XIDN])", cigars[k])]
-            tail = len(stored) - sqe
+            if blocks[0][2]:
+                cig.append((blocks[0][2], "S"))
+            as_sum = nm_sum = 0
+            for e, si in enumerate(range(sl.start, sl.stop)):
+                if e:
+                    t_gap = blocks[e][0] - blocks[e - 1][1]
+                    q_gap = blocks[e][2] - blocks[e - 1][3]
+                    if t_gap > 0:
+                        cig.append((t_gap, "N"))
+                    if q_gap > 0:
+                        cig.append((q_gap, "I"))
+                cig += [(int(n), op) for n, op in
+                        cig_re.findall(cigars[si])]
+                as_sum += int(scores[si])
+                nm_sum += int(nms[si])
+            tail = len(stored) - blocks[-1][3]
             if tail:
                 cig.append((tail, "S"))
             w.write(name, flag, rid, ts, 60, cig, stored, squal,
-                    tags={"NM": int(nms[k]), "AS": int(scores[k]),
+                    tags={"NM": nm_sum, "AS": as_sum,
                           "CB": cb, "UB": ub, "XT": xt})
             all_trns.append(xt)
     counting.trans_counts_table(all_trns).to_csv(
@@ -462,13 +502,21 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
     if dflt[2] and not barcodes:
         barcodes = os.path.join(DATA_DIR, dflt[2])
 
+    tele = Telemetry(mode, infile)
+    ts = time.time()
     run = DeconRun(spec, infile, outdir, sample, trns_ref, batch_size,
                    force=force)
     run.write_eds(outdir, sample)
+    tele.stage("align_decon", time.time() - ts, run.n_reads,
+               subreads=run.n_sub, candidates=len(run.bcumi_seqs),
+               resumed=run.resumed)
 
     if mode == "RTX":
+        ts = time.time()
         _ensure_clonotypes(mode, run.sub_path, outdir, sample, trns_ref,
                            xpecies)
+        tele.stage("clonotypes", time.time() - ts)
+        tele.write(outdir, sample)
         return
 
     # whitelist
@@ -488,19 +536,30 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
         bcs = _load_whitelist(barcodes, mode)
     if len(bcs) == 0:
         log("no whitelist barcodes — stopping after decon")
+        tele.write(outdir, sample)
         return
 
+    ts = time.time()
     df, res = match_barcodes(spec, bcs, run.bcumi_names, run.bcumi_seqs,
                              outdir, sample, force=force,
                              wl_shards=wl_shards)
+    tele.stage("barcode_match", time.time() - ts, len(run.bcumi_seqs),
+               accepted=int((df.status == ACCEPT).sum()),
+               whitelist=int(len(bcs)))
 
+    ts = time.time()
     if mode == "5p10XGEX":
         dedup_outputs(spec, df, res, outdir, sample)
+        tele.stage("dedup", time.time() - ts)
         if genome_ref and os.path.isfile(genome_ref):
+            ts = time.time()
             genome_stage(spec, outdir, sample, genome_ref,
                          _tag_map_from_df(df), force=force)
+            tele.stage("genome_tag", time.time() - ts)
     elif mode in ("5p10XTCR", "3p10XTCR_nuc"):
         dedup_outputs(spec, df, res, outdir, sample, knee_umi_name="knee_UMI")
+        tele.stage("dedup", time.time() - ts)
+        ts = time.time()
         if _ensure_clonotypes(mode, run.sub_path, outdir, sample, trns_ref,
                               xpecies):
             _, cloneID = clone_stage.clone_filt_5p10X(sample, outdir)
@@ -508,6 +567,7 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
             clone_stage.clone_bcumi_join(
                 cloneID, acc.name.tolist(), acc.bc.to_numpy(),
                 acc.umi.tolist(), f"{outdir}/{sample}_clone_bcumi.csv.gz")
+        tele.stage("clonotypes", time.time() - ts)
     elif mode in ("3pXCR_slideseq", "3p10XTCR"):
         if _ensure_clonotypes(mode, run.sub_path, outdir, sample, trns_ref,
                               xpecies):
@@ -517,6 +577,7 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
                 cloneID, acc.name.tolist(), acc.bc.to_numpy(),
                 acc.umi.tolist(), f"{outdir}/{sample}_clone_bcumi.csv.gz",
                 clone_first=True)
+        tele.stage("clonotypes", time.time() - ts)
     elif mode == "3p10XGEX":
         acc = df[df.status == ACCEPT]
         umi_codes = res["umi"][(df.status == ACCEPT).to_numpy()]
@@ -532,6 +593,9 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
         counting.write_mtx(f"{outdir}/{sample}", genes, cells, cnts)
         log(f"count matrix: {len(genes)} genes × {len(cells)} cells, "
             f"{len(cnts)} nonzeros")
+        tele.stage("count_matrix", time.time() - ts,
+                   genes=len(genes), cells=len(cells))
+    tele.write(outdir, sample)
 
 
 def _honor_jax_platforms_env():

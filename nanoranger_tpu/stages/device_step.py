@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..align.aligner import (MIN_CHAIN_CNT, MIN_CHAIN_SCORE, seed_and_chain)
-from ..align.index import STRAND_OFFSET, PanelIndex
+from ..align.index import PanelIndex
 from ..align.minimizers import K
 from ..chemistry import ChemistrySpec
 from ..io.encode import COMPLEMENT, PAD, encode
@@ -31,7 +31,7 @@ from ..stages.barcode import ACCEPT, BarcodeMatcher
 MASK_LEVEL = 0.5
 
 
-def _device_records(chain_out, ref_offset, lengths, S: int):
+def _device_records(chain_out, lengths, S: int):
     """Top-S chains per read as fixed slots.
 
     Chain labels come straight from the DP's root propagation; top chains
@@ -40,9 +40,10 @@ def _device_records(chain_out, ref_offset, lengths, S: int):
     scatter or pointer-chasing on device.
 
     Returns dict of (B, S): ok, strand, qstart, qend (original-read coords),
-    tstart_g, tend_g (global t), ref_id."""
+    tstart, tend (ref-local t), ref_id."""
     t, q, qpos = chain_out["t"], chain_out["q"], chain_out["qpos"]
-    strand, valid = chain_out["strand"], chain_out["valid"]
+    seg, valid = chain_out["seg"], chain_out["valid"]
+    strand = chain_out["strand"]
     f, root = chain_out["f"], chain_out["root"]
     B, A = t.shape
 
@@ -72,14 +73,14 @@ def _device_records(chain_out, ref_offset, lengths, S: int):
     n_member = jnp.sum(member, axis=2)
     qpos_l = jnp.where(member, qpos[:, None, :], 1 << 30)
     qpos_h = jnp.where(member, qpos[:, None, :] + K, -1)
-    t_base = jnp.where(strand == 1, t - STRAND_OFFSET, t)
-    t_l = jnp.where(member, t_base[:, None, :], 1 << 30)
-    t_h = jnp.where(member, t_base[:, None, :] + K, -1)
+    t_l = jnp.where(member, t[:, None, :], 1 << 30)
+    t_h = jnp.where(member, t[:, None, :] + K, -1)
     qstart = jnp.min(qpos_l, axis=2)
     qend = jnp.max(qpos_h, axis=2)
     tstart = jnp.min(t_l, axis=2)
     tend = jnp.max(t_h, axis=2)
     st = jnp.max(jnp.where(member, strand[:, None, :], 0), axis=2)
+    seg_m = jnp.max(jnp.where(member, seg[:, None, :], -1), axis=2)
     ok = jnp.isfinite(top_f) & (top_f >= MIN_CHAIN_SCORE) & \
         (n_member >= MIN_CHAIN_CNT)
 
@@ -95,9 +96,9 @@ def _device_records(chain_out, ref_offset, lengths, S: int):
         keep = keep.at[:, s].set(ov < (MASK_LEVEL * span).astype(jnp.int32))
     ok = ok & keep
 
-    ref_id = jnp.searchsorted(ref_offset, tstart, side="right") - 1
+    ref_id = jnp.maximum(seg_m, 0) >> 1
     out.update(ok=ok, strand=st, qstart=qstart, qend=qend,
-               tstart_g=tstart, tend_g=tend, ref_id=ref_id)
+               tstart=tstart, tend=tend, ref_id=ref_id)
     return out
 
 
@@ -118,7 +119,6 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
     from ..align.aligner import prepare_index_arrays
     from .decon import _anchor_code, _scan_flanks
     idx_arrays = prepare_index_arrays(index)
-    ref_offset = jnp.asarray(index.ref_offset.astype(np.int32))
     f = spec.flank
     pat_bytes = encode(spec.scan.pattern).tobytes()
     n_bc = len(matcher.barcodes)
@@ -131,7 +131,7 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
         B, L = codes.shape
         chain_out = seed_and_chain(codes, lengths, *idx_arrays,
                                    max_minimizers=max_minimizers)
-        rec = _device_records(chain_out, ref_offset, lengths, S)
+        rec = _device_records(chain_out, lengths, S)
         R = B * S
         read_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
         strand = rec["strand"].reshape(R)
