@@ -414,29 +414,51 @@ class PanelAligner:
     """End-to-end convenience wrapper.
 
     preset "map-ont" (panels/transcriptomes) or "splice" (genomes —
-    intron-tolerant chaining, minimap2 -x splice analogue)."""
+    intron-tolerant chaining, minimap2 -x splice analogue).
+
+    devices: optional list of JAX devices for data-parallel streaming —
+    batch i runs on devices[i % n] (pass shard= to _chain/align). The
+    index arrays are replicated to every device once; computation follows
+    input placement, so N batches chain concurrently across chips while
+    the host assembles earlier results (the reference's seqkit+Pool
+    fan-out, SURVEY.md §2.3, as device round-robin with a deterministic
+    in-order host merge)."""
 
     def __init__(self, index: PanelIndex, max_minimizers: int | None = None,
-                 occ_cap: int = OCC_CAP, preset: str = "map-ont"):
+                 occ_cap: int = OCC_CAP, preset: str = "map-ont",
+                 devices: list | None = None):
         self.index = index
         self.max_minimizers = max_minimizers
         self.occ_cap = occ_cap
         self.max_intron = MAX_INTRON if preset == "splice" else 0
         self._idx = prepare_index_arrays(index, self.occ_cap)
+        self.devices = list(devices) if devices else None
+        if self.devices:
+            self._idx_dev = [jax.device_put(self._idx, d)
+                             for d in self.devices]
 
-    def _chain(self, codes: np.ndarray, lengths: np.ndarray) -> dict:
+    def _chain(self, codes: np.ndarray, lengths: np.ndarray,
+               shard: int = 0) -> dict:
         L = codes.shape[1]
         # minimizer density is ~2/(W+1) ≈ 0.18; L/4 leaves headroom so long
         # concatemers keep their tail seeds. Rounded so jit shape buckets
         # stay coarse.
         m = self.max_minimizers or max(64, ((L // 4) + 63) // 64 * 64)
+        if self.devices:
+            d = self.devices[shard % len(self.devices)]
+            idx = self._idx_dev[shard % len(self.devices)]
+            codes = jax.device_put(jnp.asarray(codes), d)
+            lengths = jax.device_put(jnp.asarray(lengths), d)
+        else:
+            idx = self._idx
         return seed_and_chain(jnp.asarray(codes), jnp.asarray(lengths),
-                              *self._idx, max_minimizers=m,
+                              *idx, max_minimizers=m,
                               occ_cap=self.occ_cap,
                               max_intron=self.max_intron)
 
-    def align(self, codes: np.ndarray, lengths: np.ndarray) -> AlignmentRecords:
-        out = self._chain(codes, lengths)
+    def align(self, codes: np.ndarray, lengths: np.ndarray,
+              shard: int = 0) -> AlignmentRecords:
+        out = self._chain(codes, lengths, shard)
         return extract_records(out, self.index, np.asarray(lengths))
 
     def align_with_exons(self, codes: np.ndarray, lengths: np.ndarray,

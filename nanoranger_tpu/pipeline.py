@@ -84,7 +84,8 @@ class Telemetry:
             row["reads"] = int(reads)
             if seconds > 0:
                 row["reads_per_s"] = round(reads / seconds, 1)
-        row.update(extra)
+        row.update({k: v for k, v in extra.items()
+                    if v is not None and not (isinstance(v, int) and v < 0)})
         self.doc["stages"].append(row)
 
     def write(self, outdir: str, sample: str):
@@ -102,6 +103,11 @@ class DeconRun:
     """Streamed align+decon over an input fastq, accumulating BC-UMI
     candidates and writing subread/BCUMI artifacts.
 
+    data_shards > 1 runs the device part data-parallel: batch i chains on
+    device i%N while the host assembles earlier batches (deterministic
+    in-order merge, so N-device artifacts are byte-identical to 1-device —
+    SURVEY.md §7 layer 7; tested in tests/test_data_parallel.py).
+
     Resume: when the stage artifacts already exist (and force=False), the
     BC-UMI candidates are reloaded from _BCUMI.fasta.gz instead of
     recomputing — the reference's resume-on-existence idiom (SURVEY.md §5),
@@ -109,7 +115,8 @@ class DeconRun:
     so an existing file is always complete)."""
 
     def __init__(self, spec, infile, outdir, sample, trns_ref,
-                 batch_size=2048, max_len=4096, force=False):
+                 batch_size=2048, max_len=4096, force=False,
+                 data_shards=1):
         self.spec = spec
         t0 = time.time()
         sub_kind = "VDJ" if spec.name in (
@@ -147,12 +154,26 @@ class DeconRun:
             return
 
         self.index = PanelIndex.from_fasta(trns_ref)
-        self.aligner = PanelAligner(self.index)
+        devs = None
+        if data_shards > 1:
+            import jax
+            devs = jax.devices()[:data_shards]
+            if len(devs) < data_shards:
+                log(f"WARNING: {data_shards} data shards requested but only "
+                    f"{len(devs)} devices present — using {len(devs)}")
+        self.aligner = PanelAligner(self.index, devices=devs)
+        from collections import deque
+
+        from .align.aligner import extract_records
         n_reads = n_sub = 0
         fsub = fastq.FastqWriter(self.sub_path)
         fbc = FastaWriter(self.bcumi_path)
-        for batch in fastq.iter_batches(infile, batch_size, max_len=max_len):
-            rec = self.aligner.align(batch.codes, batch.lengths)
+        pending: deque = deque()
+
+        def drain():
+            nonlocal n_reads, n_sub
+            batch, ch = pending.popleft()
+            rec = extract_records(ch, self.index, np.asarray(batch.lengths))
             out = run_decon(spec, batch.codes, batch.lengths, batch.names,
                             batch.quals, rec, self.index.names, sample)
             for nm, sq, ql in zip(out.sub_names, out.sub_seqs, out.sub_quals):
@@ -167,6 +188,18 @@ class DeconRun:
                 self.raw_counts[k] = self.raw_counts.get(k, 0) + v
             n_reads += len(batch)
             n_sub += len(out.sub_names)
+
+        inflight = len(devs) if devs else 1
+        for i, batch in enumerate(
+                fastq.iter_batches(infile, batch_size, max_len=max_len)):
+            # dispatch the device work (async) before draining older
+            # batches, so up to `inflight` chips chain concurrently
+            ch = self.aligner._chain(batch.codes, batch.lengths, shard=i)
+            pending.append((batch, ch))
+            if len(pending) > inflight:
+                drain()
+        while pending:
+            drain()
         fsub.close()
         fbc.close()
         self.n_reads = n_reads
@@ -216,27 +249,34 @@ def _atomic_to_csv(df, path, **kw):
     os.replace(tmp, path)
 
 
-def _sharded_match_fn(spec, bcs_array, wl_shards):
-    """Multi-chip whitelist matcher: shards the whitelist over `wl_shards`
-    devices via parallel/sharded.build_sharded_match (ICI all-gather of
-    per-shard best/runner summaries; psum'd counts). Returns a callable
-    with the BarcodeMatcher.match signature."""
-    import jax
+def _sharded_match_fn(spec, bcs_array, wl_shards, data_shards=1):
+    """Multi-chip whitelist matcher over a (data × wl) mesh: candidate
+    batches shard over 'data', the whitelist over 'wl'
+    (parallel/sharded.build_sharded_match: ICI all-gather of per-shard
+    best/runner summaries; psum'd counts). Returns a callable with the
+    BarcodeMatcher.match signature; batches are padded to a multiple of
+    data_shards and pad rows dropped from the result."""
     from .parallel.sharded import (ShardedWhitelist, build_sharded_match,
                                    make_mesh)
-    mesh = make_mesh(1, wl_shards)
+    mesh = make_mesh(data_shards, wl_shards)
     swl = ShardedWhitelist(bcs_array, spec.barcode, wl_shards)
     arrs = swl.device_arrays(mesh)
     fn = build_sharded_match(swl, mesh)
 
     def match(q, qlen):
+        n = q.shape[0]
+        n_pad = -(-n // data_shards) * data_shards - n
+        if n_pad:
+            q = np.pad(q, ((0, n_pad), (0, 0)))
+            qlen = np.pad(qlen, (0, n_pad))
         bc, score, status, umi, _ = fn(
             q, qlen, arrs["refs"], arrs["n_real"], arrs["offsets"],
             arrs["starts0"], arrs["counts0"], arrs["entries0"],
             arrs["hkeys0"], arrs["starts1"], arrs["counts1"],
             arrs["entries1"], arrs["hkeys1"])
-        return {"bc_idx": np.asarray(bc), "score": np.asarray(score),
-                "status": np.asarray(status), "umi": np.asarray(umi)}
+        return {"bc_idx": np.asarray(bc)[:n], "score": np.asarray(score)[:n],
+                "status": np.asarray(status)[:n],
+                "umi": np.asarray(umi)[:n]}
     return match
 
 
@@ -254,7 +294,7 @@ def _match_fingerprint(spec, bcs_array, names):
 
 
 def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
-                   batch=4096, force=False, wl_shards=1):
+                   batch=4096, force=False, wl_shards=1, data_shards=1):
     """Whitelist match of accumulated candidates → per-read assignment df
     + score histogram artifacts. The full assignment table persists as
     {sample}_assignments.csv.gz (our equivalent of the reference's
@@ -288,9 +328,10 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
     t0 = time.time()
     m = BarcodeMatcher(bcs_array, spec.barcode)
     match = m.match
-    if wl_shards > 1:
-        match = _sharded_match_fn(spec, bcs_array, wl_shards)
-        log(f"whitelist sharded over {wl_shards} devices")
+    if wl_shards > 1 or data_shards > 1:
+        match = _sharded_match_fn(spec, bcs_array, wl_shards, data_shards)
+        log(f"whitelist match on a {data_shards}x{wl_shards} "
+            f"(data x wl) device mesh")
     Lq = 96
     all_res = {k: [] for k in ("bc_idx", "score", "status", "umi")}
     for s in range(0, len(seqs), batch):
@@ -492,7 +533,7 @@ def _ensure_clonotypes(mode, sub_path, outdir, sample, trns_ref,
 
 def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
                  barcodes=None, xpecies=None, batch_size=2048, force=False,
-                 wl_shards=1):
+                 wl_shards=1, data_shards=1):
     os.makedirs(outdir, exist_ok=True)
     spec = chemistry.get(mode)
     dflt = MODE_DEFAULTS[mode]
@@ -505,7 +546,7 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
     tele = Telemetry(mode, infile)
     ts = time.time()
     run = DeconRun(spec, infile, outdir, sample, trns_ref, batch_size,
-                   force=force)
+                   force=force, data_shards=data_shards)
     run.write_eds(outdir, sample)
     tele.stage("align_decon", time.time() - ts, run.n_reads,
                subreads=run.n_sub, candidates=len(run.bcumi_seqs),
@@ -542,7 +583,7 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
     ts = time.time()
     df, res = match_barcodes(spec, bcs, run.bcumi_names, run.bcumi_seqs,
                              outdir, sample, force=force,
-                             wl_shards=wl_shards)
+                             wl_shards=wl_shards, data_shards=data_shards)
     tele.stage("barcode_match", time.time() - ts, len(run.bcumi_seqs),
                accepted=int((df.status == ACCEPT).sum()),
                whitelist=int(len(bcs)))
@@ -656,10 +697,17 @@ def main(argv=None):
     p.add_argument("--wl_shards", type=int, default=1,
                    help="shard the whitelist match over this many devices "
                         "(jax.sharding mesh; 1 = single device)")
+    p.add_argument("--data_shards", type=int, default=1,
+                   help="data-parallel device count: streamed align/decon "
+                        "batches round-robin over N devices and the "
+                        "whitelist match runs on a (data x wl) mesh; "
+                        "artifacts are byte-identical to --data_shards 1 "
+                        "(deterministic in-order merge)")
     a = p.parse_args(argv)
     run_pipeline(a.mode, a.infile, a.outdir, a.expname, a.trns_ref,
                  a.genome_ref, a.barcodes, a.xpecies, a.batch_size,
-                 force=a.force, wl_shards=a.wl_shards)
+                 force=a.force, wl_shards=a.wl_shards,
+                 data_shards=a.data_shards)
 
 
 if __name__ == "__main__":
