@@ -511,6 +511,20 @@ def _v_panel_paths(mode, xpecies, trns_ref):
             if os.path.isfile(os.path.join(DATA_DIR, n))]
 
 
+def _c_panel_paths(mode, xpecies, trns_ref):
+    """Constant-region panels for J/C locus assignment. A C panel given as
+    the transcriptome ref (3' modes) is reused; otherwise the species'
+    bundled TR/XR C panels."""
+    if trns_ref and "_C_" in os.path.basename(trns_ref):
+        return [trns_ref]
+    mouse = (xpecies == "mouse") or (not xpecies and mode in
+                                     ("3pXCR_slideseq", "3p10XTCR"))
+    names = (["XR_C_mouse.fa"] if mouse
+             else ["TR_C_human.fa", "IG_C_human.fa"])
+    return [os.path.join(DATA_DIR, n) for n in names
+            if os.path.isfile(os.path.join(DATA_DIR, n))]
+
+
 def _ensure_clonotypes(mode, sub_path, outdir, sample, trns_ref,
                        xpecies) -> bool:
     """Make clone exports available: MiXCR outputs win when present
@@ -525,7 +539,9 @@ def _ensure_clonotypes(mode, sub_path, outdir, sample, trns_ref,
             f"run mixcr on {sub_path} then re-run for clone tables")
         return False
     from .vdj import call_clonotypes
-    call_clonotypes(sub_path, v_fastas, outdir, sample, log=log)
+    call_clonotypes(sub_path, v_fastas, outdir, sample,
+                    c_fastas=_c_panel_paths(mode, xpecies, trns_ref),
+                    log=log)
     return clone_stage.have_mixcr_outputs(sample, outdir)
 
 

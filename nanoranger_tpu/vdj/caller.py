@@ -41,6 +41,64 @@ MAX_EXTRAPOLATE = 9    # ungapped extension allowed past alignment end
 FALLBACK_VTAIL = 60    # 5' window V-tail length (utils.py:245: lclipV=60)
 FALLBACK_MAX_NMFRAC = 0.40
 
+C_PROBE = 140          # nt probed downstream of the CDR3 for the C gene
+C_HEAD = 160           # head of each C reference entered in the k-mer set
+C_K = 11               # probe k-mer size (0.92^11 ≈ 0.4 survival at ONT err)
+C_MIN_HITS = 3         # min shared k-mers to call the constant region
+
+
+class _CPanel:
+    """Constant-region identifier: shared-k-mer screen of the post-CDR3
+    read segment against each C gene's head. Identifies the J/C locus for
+    allJHitsWithScore/allCHitsWithScore (reference exports them from
+    MiXCR's built-in library, scripts/mixcr.sh:15-22; no J-allele panel is
+    bundled, so the native caller reports locus-level J evidence — the
+    J-motif anchor plus the constant-region identity — and the real C
+    gene hit). K-mer counting is offset-invariant, so the variable-length
+    J segment between CDR3 end and C start needs no alignment."""
+
+    def __init__(self, c_fastas: list):
+        self.names: list = []
+        kmer_sets = []
+        for path in c_fastas:
+            idx = PanelIndex.from_fasta(path)
+            for nm, sc in zip(idx.names, idx.seq_codes):
+                head = np.asarray(sc[:C_HEAD], np.int64)
+                if len(head) < C_K:
+                    continue
+                self.names.append(nm.split("|")[0])
+                kmer_sets.append(np.unique(_kmers(head)))
+        self.kmer_sets = kmer_sets
+
+    def assign(self, segs: list) -> list:
+        """segs: list of int8 arrays (post-CDR3 probes).
+        Returns [(c_name, n_shared_kmers) or ("", 0)] per seg."""
+        out = []
+        for seg in segs:
+            seg = np.asarray(seg, np.int64)
+            if len(seg) < C_K + 8:
+                out.append(("", 0))
+                continue
+            q = np.unique(_kmers(seg))
+            best, best_n = "", 0
+            for nm, ks in zip(self.names, self.kmer_sets):
+                n = int(np.isin(q, ks, assume_unique=True).sum())
+                if n > best_n:
+                    best, best_n = nm, n
+            out.append((best, best_n) if best_n >= C_MIN_HITS else ("", 0))
+        return out
+
+
+def _kmers(codes: np.ndarray, k: int = C_K) -> np.ndarray:
+    """Packed k-mer codes of an int8 sequence (N/PAD-containing dropped)."""
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.int64)
+    w = np.lib.stride_tricks.sliding_window_view(codes, k)
+    ok = ((w >= 0) & (w < 4)).all(axis=1)
+    pw = 4 ** np.arange(k, dtype=np.int64)
+    return (w[ok] * pw).sum(axis=1)
+
 
 def _merged_index(v_fastas: list) -> PanelIndex:
     names, seqs = [], []
@@ -86,16 +144,19 @@ def _name_v_hint(name: str, v_ids: dict) -> int:
 
 def call_clonotypes(sub_fastq: str, v_fastas: list, outdir: str,
                     sample: str, batch_size: int = 2048,
-                    max_len: int = 2048, log=print):
+                    max_len: int = 2048, c_fastas: list | None = None,
+                    log=print):
     """Run the native clonotyper over a subread fastq; writes
     {sample}_clones.txt.gz and {sample}_cloneID.txt.gz in outdir.
-    Returns (clones_df, cloneID_df)."""
+    c_fastas: optional constant-region panels (data/TR_C_human.fa etc.)
+    for J/C locus assignment. Returns (clones_df, cloneID_df)."""
     t0 = time.time()
     index = _merged_index(v_fastas)
     aligner = PanelAligner(index)
     v_codes = [np.asarray(s, np.int8) for s in index.seq_codes]
     cys = np.asarray([cdr3mod.v_cys_position(s) for s in v_codes])
     v_ids = {nm: i for i, nm in enumerate(index.names)}
+    cpanel = _CPanel(c_fastas) if c_fastas else None
 
     calls: list = []
     n_total = n_aligned = n_fallback = 0
@@ -164,10 +225,16 @@ def call_clonotypes(sub_fastq: str, v_fastas: list, outdir: str,
                 continue
             nt, aa = got
             clean = (not aa.endswith("_")) and aa.startswith("C")
+            c_name, c_score = "", 0
+            if cpanel is not None:
+                j_start = cys_read + len(nt)
+                seg = batch.codes[i, j_start: min(j_start + C_PROBE, qlen)]
+                c_name, c_score = cpanel.assign([seg])[0]
             calls.append(ReadCall(
                 name=batch.names[i], v_name=index.names[v],
                 v_score=int(sc), chain=cdr3mod.chain_of(index.names[v]),
-                cdr3_nt=nt, cdr3_aa=aa, clean=clean))
+                cdr3_nt=nt, cdr3_aa=aa, clean=clean,
+                c_name=c_name, c_score=int(c_score)))
 
     clones, cloneID = assemble(calls)
     write_exports(clones, cloneID, outdir, sample)

@@ -30,7 +30,8 @@ import pandas as pd
 
 CLONE_COLUMNS = ["cloneId", "cloneCount", "chains", "aaSeqImputedCDR3",
                  "nSeqImputedCDR3", "allVHitsWithScore",
-                 "allDHitsWithScore", "allJHitsWithScore"]
+                 "allDHitsWithScore", "allJHitsWithScore",
+                 "allCHitsWithScore"]
 
 
 @dataclasses.dataclass
@@ -43,6 +44,8 @@ class ReadCall:
     cdr3_nt: str
     cdr3_aa: str
     clean: bool = True  # in-frame + Cys-anchored (may found a clone)
+    c_name: str = ""    # constant-region gene (vdj/caller._CPanel)
+    c_score: int = 0    # shared-kmer evidence count
 
 
 def lev_batch(a_strs: list, b_strs: list) -> np.ndarray:
@@ -118,12 +121,17 @@ def assemble(calls: list) -> tuple[pd.DataFrame, pd.DataFrame]:
         "chain": [c.chain for c in clean],
         "cdr3_nt": [c.cdr3_nt for c in clean],
         "cdr3_aa": [c.cdr3_aa for c in clean],
+        "c_name": [c.c_name for c in clean],
+        "c_score": [c.c_score for c in clean],
     })
     raw = df.groupby(["chain", "cdr3_nt"], sort=False).agg(
         count=("name", "size"),
         cdr3_aa=("cdr3_aa", "first"),
         v_name=("v_name", lambda s: s.mode().iloc[0]),
         v_score=("v_score", "max"),
+        c_name=("c_name", lambda s: (s[s != ""].mode().iloc[0]
+                                     if (s != "").any() else "")),
+        c_score=("c_score", "max"),
     ).reset_index()
     raw = raw.sort_values("count", ascending=False, kind="stable")
     raw = raw.reset_index(drop=True)
@@ -219,6 +227,21 @@ def assemble(calls: list) -> tuple[pd.DataFrame, pd.DataFrame]:
         id_rows["cloneId"].append(rawidx_to_id[int(k)])
         id_rows["chains"].append(call.chain)
 
+    # J/C hits: locus-level J (the J-motif anchor exists by construction of
+    # the CDR3 call; its locus comes from the constant-region identity) plus
+    # the real C-gene hit with its shared-kmer evidence count. No J-allele
+    # panel ships with the reference either — MiXCR uses its own built-in
+    # library (scripts/mixcr.sh:15-22); allele-level J naming would be
+    # fabrication, locus-level is what the data supports.
+    j_hits, c_hits = [], []
+    for cn, cs, ch in zip(clones.c_name, clones.c_score, clones.chain):
+        if cn:
+            locus = cn[:3].upper()
+            j_hits.append(f"{locus}J*00({int(cs)})")
+            c_hits.append(f"{cn}*00({int(cs)})")
+        else:
+            j_hits.append("")
+            c_hits.append("")
     out_clones = pd.DataFrame({
         "cloneId": clones.cloneId,
         "cloneCount": clones.cloneCount.astype(float),
@@ -228,7 +251,8 @@ def assemble(calls: list) -> tuple[pd.DataFrame, pd.DataFrame]:
         "allVHitsWithScore": [f"{v.split('|')[0]}*00({int(s)})"
                               for v, s in zip(clones.v_name, clones.v_score)],
         "allDHitsWithScore": "",   # no D panel bundled (MiXCR often empty)
-        "allJHitsWithScore": "",   # J identified by motif, not by gene panel
+        "allJHitsWithScore": j_hits,
+        "allCHitsWithScore": c_hits,
     })
     return out_clones, pd.DataFrame(id_rows)
 
