@@ -76,6 +76,45 @@ def _measure(step, codes, lengths, n, iters):
     return n * iters / dt, out
 
 
+def _cli_bench(n_reads=100_000):
+    """Streamed-CLI throughput: tile the K562 sample to n_reads, run the
+    full 5p10XGEX pipeline (align→decon→737K match→dedup) end-to-end via
+    run_pipeline, report reads/s from the runstats telemetry."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from nanoranger_tpu.pipeline import run_pipeline
+    with gzip.open(SAMPLE, "rt") as f:
+        lines = f.read().splitlines(keepends=True)
+    n_src = len(lines) // 4
+    reps = -(-n_reads // n_src)
+    d = tempfile.mkdtemp(prefix="nr_bench_cli_")
+    try:
+        infile = os.path.join(d, "in.fastq.gz")
+        with gzip.open(infile, "wt", compresslevel=1) as g:
+            for t in range(reps):
+                for i in range(0, len(lines), 4):
+                    g.write(f"@t{t}_{lines[i][1:]}")
+                    g.writelines(lines[i + 1:i + 4])
+        t0 = time.time()
+        run_pipeline("5p10XGEX", infile, d, "b", trns_ref=PANEL,
+                     genome_ref="/nonexistent", barcodes=WHITELIST,
+                     batch_size=2048)
+        wall = time.time() - t0
+        with open(os.path.join(d, "b_runstats.json")) as f:
+            rs = json.load(f)
+        total_reads = reps * n_src
+        return {
+            "cli_total_reads": total_reads,
+            "cli_wall_s": round(wall, 1),
+            "cli_reads_per_s": round(total_reads / wall, 1),
+            "cli_stages": rs["stages"],
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main():
     # cached CPU baseline (measured once, separate process to force CPU)
     if not os.path.isfile(BASELINE_FILE):
@@ -99,6 +138,10 @@ def main():
     assert int(np.asarray(out["n_deferred"])) == 0, "deferred hits in bench"
     acc = int((np.asarray(out["status"]) == 0).sum())
     vs = round(reads_per_s / baseline, 2) if baseline else None
+    try:
+        cli = _cli_bench()
+    except Exception as e:                 # CLI bench is additive evidence
+        cli = {"cli_error": repr(e)}
     print(json.dumps({
         "metric": "5p10XGEX fused pipeline reads/s/chip (K562 sample, 737K "
                   "whitelist) vs PROXY baseline (this engine's CPU path "
@@ -111,7 +154,8 @@ def main():
                    "baseline_cpu16_reads_per_s": baseline,
                    "reference_published_reads_per_s": None,
                    "reference_envelopes": "BASELINE.md (SLURM walltime/core "
-                   "bounds only; no read counts → no derivable reads/s)"},
+                   "bounds only; no read counts → no derivable reads/s)",
+                   **cli},
     }))
 
 

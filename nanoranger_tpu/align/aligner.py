@@ -344,29 +344,32 @@ def extract_records(chain_out: dict, index: PanelIndex,
     n_anchors = np.asarray(s["cnt"]).astype(np.int64)[:sel_n]
     tend = np.minimum(tend, index.ref_lens[ref_of].astype(np.int64))
 
-    # primary selection per read: score-descending greedy query-overlap
+    # primary selection per read: score-descending greedy query-overlap.
+    # Single-record reads (the vast majority) are handled vectorized; only
+    # multi-record (chimera/concatemer) reads run the greedy python loop.
     order = np.lexsort((-score, read_idx))
+    rid_sorted = read_idx[order]
+    starts = np.flatnonzero(
+        np.r_[True, rid_sorted[1:] != rid_sorted[:-1]])
+    ends = np.r_[starts[1:], len(order)]
     flag = np.full(len(gidx), -1, np.int64)
-    i = 0
-    while i < len(order):
-        j = i
-        rid = read_idx[order[i]]
-        kept: list[tuple[int, int, int]] = []
-        while j < len(order) and read_idx[order[j]] == rid:
-            oi = order[j]
+    single = (ends - starts) == 1
+    oi_single = order[starts[single]]
+    flag[oi_single] = 16 * chain_strand[oi_single]
+    for s_, e_ in zip(starts[~single], ends[~single]):
+        kept: list[tuple[int, int]] = []
+        for oi in order[s_:e_]:
             a, b = qstart[oi], qend[oi]
             ov = 0
-            for (ka, kb, _) in kept:
+            for (ka, kb) in kept:
                 ov = max(ov, min(b, kb) - max(a, ka))
             if not kept:
                 flag[oi] = 0 + 16 * chain_strand[oi]
-                kept.append((a, b, oi))
+                kept.append((a, b))
             elif ov < MASK_LEVEL * (b - a):
                 flag[oi] = 2048 + 16 * chain_strand[oi]
-                kept.append((a, b, oi))
+                kept.append((a, b))
             # else: secondary → dropped (--secondary=no)
-            j += 1
-        i = j
 
     sel = flag >= 0
     return AlignmentRecords(
@@ -426,11 +429,12 @@ class PanelAligner:
 
     def __init__(self, index: PanelIndex, max_minimizers: int | None = None,
                  occ_cap: int = OCC_CAP, preset: str = "map-ont",
-                 devices: list | None = None):
+                 devices: list | None = None, extend_ends: bool = False):
         self.index = index
         self.max_minimizers = max_minimizers
         self.occ_cap = occ_cap
         self.max_intron = MAX_INTRON if preset == "splice" else 0
+        self.extend_ends = extend_ends
         self._idx = prepare_index_arrays(index, self.occ_cap)
         self.devices = list(devices) if devices else None
         if self.devices:
@@ -451,15 +455,25 @@ class PanelAligner:
             lengths = jax.device_put(jnp.asarray(lengths), d)
         else:
             idx = self._idx
-        return seed_and_chain(jnp.asarray(codes), jnp.asarray(lengths),
-                              *idx, max_minimizers=m,
-                              occ_cap=self.occ_cap,
-                              max_intron=self.max_intron)
+            codes = jnp.asarray(codes)
+            lengths = jnp.asarray(lengths)
+        out = seed_and_chain(codes, lengths, *idx, max_minimizers=m,
+                             occ_cap=self.occ_cap,
+                             max_intron=self.max_intron)
+        # committed batch rides along so downstream stages (flank scan)
+        # reuse it instead of re-uploading 8 MB per batch
+        out["dev_codes"] = codes
+        return out
 
     def align(self, codes: np.ndarray, lengths: np.ndarray,
               shard: int = 0) -> AlignmentRecords:
         out = self._chain(codes, lengths, shard)
-        return extract_records(out, self.index, np.asarray(lengths))
+        rec = extract_records(out, self.index, np.asarray(lengths))
+        if self.extend_ends:
+            from ..ops.extend import extend_records_host
+            extend_records_host(rec, self.index, np.asarray(codes),
+                                np.asarray(lengths))
+        return rec
 
     def align_with_exons(self, codes: np.ndarray, lengths: np.ndarray,
                          min_intron: int = 50):

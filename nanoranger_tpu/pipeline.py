@@ -165,6 +165,7 @@ class DeconRun:
         from collections import deque
 
         from .align.aligner import extract_records
+        from .ops.extend import extend_records_host
         n_reads = n_sub = 0
         fsub = fastq.FastqWriter(self.sub_path)
         fbc = FastaWriter(self.bcumi_path)
@@ -174,8 +175,13 @@ class DeconRun:
             nonlocal n_reads, n_sub
             batch, ch = pending.popleft()
             rec = extract_records(ch, self.index, np.asarray(batch.lengths))
+            # base-level DP extension of chain ends: qstart/qend match
+            # minimap2's extended spans (read-name coords + subread slices,
+            # reference utils.py:146-148), not terminal anchors
+            extend_records_host(rec, self.index, batch.codes, batch.lengths)
             out = run_decon(spec, batch.codes, batch.lengths, batch.names,
-                            batch.quals, rec, self.index.names, sample)
+                            batch.quals, rec, self.index.names, sample,
+                            dev_codes=ch.get("dev_codes"))
             for nm, sq, ql in zip(out.sub_names, out.sub_seqs, out.sub_quals):
                 fsub.write(nm, sq, ql)
             for nm, sq in zip(out.bcumi_names, out.bcumi_seqs):
@@ -336,9 +342,13 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
     all_res = {k: [] for k in ("bc_idx", "score", "status", "umi")}
     for s in range(0, len(seqs), batch):
         q, qlen = encode_batch(seqs[s:s + batch], max_len=Lq)
+        n = q.shape[0]
+        if n < batch:     # pad the tail: exact-n shapes would recompile
+            q = np.pad(q, ((0, batch - n), (0, 0)))
+            qlen = np.pad(qlen, (0, batch - n))
         r = match(q, qlen)
         for k in all_res:
-            all_res[k].append(r[k])
+            all_res[k].append(r[k][:n])
     res = {k: np.concatenate(v) if v else np.zeros(0, np.int32)
            for k, v in all_res.items()}
     status = res["status"]

@@ -138,8 +138,12 @@ def _anchor_code(name: str) -> int:
 
 def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
               names: list, quals: list, rec: AlignmentRecords,
-              ref_names: list, sample: str = "sample") -> DeconResult:
-    """Run decon for one read batch + its alignment records."""
+              ref_names: list, sample: str = "sample",
+              dev_codes=None) -> DeconResult:
+    """Run decon for one read batch + its alignment records.
+
+    dev_codes: optional device-resident copy of `codes` (from the aligner
+    call) — passing it avoids re-uploading the batch for the flank scan."""
     R = len(rec)
     empty = DeconResult(np.zeros(0, int), [], [], [], np.zeros(0, int), [], [],
                         [], {}, [])
@@ -158,22 +162,32 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
     # ---- adapter scan on device -----------------------------------------
     if spec.scan is not None:
         f = spec.flank
+        # pad the record axis to a pow2 bucket: R varies per batch and an
+        # exact-R shape would recompile _scan_flanks every batch (~1.3s on
+        # a remote-compile backend). Pad rows scan read 0's empty window
+        # (qstart=qend=0 → wlen may be >0 but results are sliced off).
+        Rb = 256
+        while Rb < R:
+            Rb *= 2
+        pad = Rb - R
+        pad_i32 = lambda a: np.pad(a.astype(np.int32), (0, pad))
         window, wlen, wstart, ed, gs, ge = _scan_flanks(
-            jnp.asarray(codes), jnp.asarray(lengths.astype(np.int32)),
-            jnp.asarray(read_idx), jnp.asarray(strand),
-            jnp.asarray(qstart), jnp.asarray(qend),
+            dev_codes if dev_codes is not None else jnp.asarray(codes),
+            jnp.asarray(lengths.astype(np.int32)),
+            jnp.asarray(pad_i32(read_idx)), jnp.asarray(pad_i32(strand)),
+            jnp.asarray(pad_i32(qstart)), jnp.asarray(pad_i32(qend)),
             anchor=_anchor_code(f.anchor), lo=f.lo, hi=f.hi,
             pattern=encode(spec.scan.pattern).tobytes(),
             k=spec.scan.k, wildcard=spec.scan.n_wildcard,
             pick_last=spec.scan.pick_last,
             wsize=spec.scan.window_size, stride=spec.scan.window_stride,
             plus_one=spec.scan.windows_plus_one)
-        window = np.asarray(window)
-        wlen = np.asarray(wlen)
-        wstart = np.asarray(wstart)
-        ed = np.asarray(ed)
-        gs = np.asarray(gs)
-        ge = np.asarray(ge)
+        window = np.asarray(window)[:R]
+        wlen = np.asarray(wlen)[:R]
+        wstart = np.asarray(wstart)[:R]
+        ed = np.asarray(ed)[:R]
+        gs = np.asarray(gs)[:R]
+        ge = np.asarray(ge)[:R]
         hit = (ed >= 0) & (ed < spec.scan.max_ed_exclusive)
     else:
         window = np.zeros((R, 0), np.int8)

@@ -102,7 +102,8 @@ def test_missing_whitelist_clear_error(tmp_path):
 def test_clonotype_exports_atomic(tmp_path):
     from nanoranger_tpu.vdj.clonotype import CLONE_COLUMNS, write_exports
     clones = pd.DataFrame([[0, 2.0, "TRB", "CASSF", "TGTGC", "TRBV1*00(10)",
-                            "", ""]], columns=CLONE_COLUMNS)
+                            "", "TRBJ*00(5)", "TRBC2*00(5)"]],
+                          columns=CLONE_COLUMNS)
     cid = pd.DataFrame({"descrsR1": ["r1", "r2"], "cloneId": [0, 0],
                         "chains": ["TRB", "TRB"]})
     write_exports(clones, cid, str(tmp_path), "s")
