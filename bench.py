@@ -76,10 +76,14 @@ def _measure(step, codes, lengths, n, iters):
     return n * iters / dt, out
 
 
-def _cli_bench(n_reads=100_000):
+def _cli_bench(n_reads=None):
     """Streamed-CLI throughput: tile the K562 sample to n_reads, run the
     full 5p10XGEX pipeline (align→decon→737K match→dedup) end-to-end via
-    run_pipeline, report reads/s from the runstats telemetry."""
+    run_pipeline, report reads/s from the runstats telemetry. Default 20k
+    keeps the driver's bench pass bounded on the tunneled single chip;
+    set NANORANGER_CLI_BENCH_READS=100000 for the full-scale number."""
+    n_reads = n_reads or int(os.environ.get("NANORANGER_CLI_BENCH_READS",
+                                            20_000))
     import gzip
     import shutil
     import tempfile

@@ -75,7 +75,7 @@ def extend_scores(q, qlen, t, tlen, F=F_EXT):
 
 
 def extend_records_host(rec, index, codes, lengths, F: int = F_EXT,
-                        max_rounds: int = 16):
+                        max_rounds: int = 4):
     """Refine record spans in place; returns per-record (ql, tl, qr, tr)
     total extension amounts (stored-orientation left/right). codes: (B, L)
     int8 original reads; rec fields are updated in place.
@@ -83,7 +83,9 @@ def extend_records_host(rec, index, codes, lengths, F: int = F_EXT,
     Iterative: terminal-anchor drift can exceed one flank when errors
     thin the minimizers near a read end, so ends whose extension hits the
     flank cap re-extend from the new boundary (Z-drop analogue: each
-    round must independently gain score)."""
+    round must independently gain score). max_rounds*F bounds the total
+    drift covered (4*48nt ≫ any realistic anchor drift) and the per-batch
+    device dispatches."""
     from ..io.encode import COMPLEMENT
     R = len(rec)
     if R == 0:
