@@ -111,23 +111,40 @@ def seed_and_chain(codes, lengths, prefix_start, prefix_count, planes,
     seg = jnp.where(ok, seg, SEG_INVALID).reshape(B, A_raw)
     t = jnp.where(ok, t_idx, 0).reshape(B, A_raw)
     q = jnp.where(ok, q_chain, 0).reshape(B, A_raw)
-    qp_flat = jnp.where(ok, jnp.broadcast_to(qp, rel_strand.shape),
-                        -1).reshape(B, A_raw)
-    valid = ok.reshape(B, A_raw)
-
-    # lexicographic (seg, t, q) sort carrying all payloads in ONE lax.sort —
-    # TPU sorts are fast; applying a permutation via take_along_axis is a
-    # slow gather, so never materialize an argsort. Invalid anchors
-    # (seg=SEG_INVALID) sink to the tail; truncating to A keeps valid ones.
-    seg, t, q, qp_flat, valid_i = jax.lax.sort(
-        (seg, t, q, qp_flat, valid.astype(jnp.int32)),
-        dimension=1, num_keys=3, is_stable=True)
     A = min(A_raw, 4 * max_minimizers)
-    seg = seg[:, :A]
-    t = t[:, :A]
-    q = q[:, :A]
-    qp_flat = qp_flat[:, :A]
-    valid = valid_i[:, :A].astype(bool)
+
+    # lexicographic (seg, t, q) sort — TPU sorts are fast; applying a
+    # permutation via take_along_axis is a slow gather, so never
+    # materialize an argsort. Invalid anchors (seg=SEG_INVALID) sink to
+    # the tail; truncating to A keeps valid ones. Sort cost scales with
+    # operand count, so q/qpos pack into ONE int32 key when L permits
+    # (q preserves order in the high bits; equal (seg,t,q) implies equal
+    # qpos, so the low bits never flip an ordering) and `valid` is
+    # recovered from seg afterwards.
+    if L <= 8192:
+        qpos_nn = jnp.where(ok, jnp.broadcast_to(qp, rel_strand.shape),
+                            0).reshape(B, A_raw)
+        packed = (q << 13) | qpos_nn
+        seg, t, packed = jax.lax.sort((seg, t, packed), dimension=1,
+                                      num_keys=3, is_stable=False)
+        seg = seg[:, :A]
+        t = t[:, :A]
+        packed = packed[:, :A]
+        valid = seg != SEG_INVALID
+        q = packed >> 13
+        qp_flat = jnp.where(valid, packed & 8191, -1)
+    else:
+        qp_flat = jnp.where(ok, jnp.broadcast_to(qp, rel_strand.shape),
+                            -1).reshape(B, A_raw)
+        valid_f = ok.reshape(B, A_raw)
+        seg, t, q, qp_flat, valid_i = jax.lax.sort(
+            (seg, t, q, qp_flat, valid_f.astype(jnp.int32)),
+            dimension=1, num_keys=3, is_stable=True)
+        seg = seg[:, :A]
+        t = t[:, :A]
+        q = q[:, :A]
+        qp_flat = qp_flat[:, :A]
+        valid = valid_i[:, :A].astype(bool)
     strand = jnp.where(valid, seg & 1, 0)
 
     f, parent, root = chain_dp(t, q, seg, valid, max_intron=max_intron)

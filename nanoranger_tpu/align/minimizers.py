@@ -70,7 +70,6 @@ def sketch_batch(codes: jnp.ndarray, lengths: jnp.ndarray, max_minimizers: int):
     B, L = codes.shape
     n = L - K + 1
     c = codes.astype(jnp.uint32)
-    comp = jnp.asarray([3, 2, 1, 0, 4, 5], dtype=jnp.uint32)
     fwd = jnp.zeros((B, n), jnp.uint32)
     rev = jnp.zeros((B, n), jnp.uint32)
     valid = jnp.ones((B, n), bool)
@@ -78,7 +77,10 @@ def sketch_batch(codes: jnp.ndarray, lengths: jnp.ndarray, max_minimizers: int):
         ct = jax.lax.dynamic_slice_in_dim(c, t, n, axis=1)
         valid = valid & (ct < 4)
         fwd = ((fwd << 2) | (ct & 3)) & jnp.uint32(MASK)
-        rev = rev | ((comp[jnp.clip(ct, 0, 5)] & 3) << (2 * t))
+        # complement of base b∈{0..3} is 3-b — arithmetic, not a table
+        # gather (gathers are the slow op on TPU; invalid lanes are
+        # masked by `valid`, so (3-ct)&3 garbage there is harmless)
+        rev = rev | (((jnp.uint32(3) - ct) & 3) << (2 * t))
     strand = (rev < fwd).astype(jnp.int32)
     canon = jnp.where(strand == 1, rev, fwd)
     valid = valid & (fwd != rev)
@@ -110,14 +112,19 @@ def sketch_batch(codes: jnp.ndarray, lengths: jnp.ndarray, max_minimizers: int):
     pos_all = jnp.broadcast_to(i_idx, (B, n))
     sort_key = jnp.where(sel, pos_all, n + pos_all)
     M = min(max_minimizers, n)
-    # one multi-operand sort (selected-first, by position) — applying an
-    # argsort permutation with take_along_axis would be a slow TPU gather
-    _, pos, hashes, strands = jax.lax.sort(
-        (sort_key, pos_all, h, strand), dimension=1, num_keys=1,
-        is_stable=True)
-    pos = pos[:, :M]
+    # one sort (selected-first, by position) — applying an argsort
+    # permutation with take_along_axis would be a slow TPU gather. The
+    # key already encodes pos and sel; strand packs into its low bit
+    # (keys are distinct, so the extra bit never flips an ordering),
+    # leaving the hash as the single payload.
+    packed, hashes = jax.lax.sort(
+        ((sort_key << 1) | strand, h), dimension=1, num_keys=1,
+        is_stable=False)
+    packed = packed[:, :M]
+    key = packed >> 1
+    strands = packed & 1
+    pos = jnp.where(key < n, key, key - n)
     hashes = hashes[:, :M]
-    strands = strands[:, :M]
     count = jnp.minimum(jnp.sum(sel, axis=1), M).astype(jnp.int32)
     slot = jnp.arange(M, dtype=jnp.int32)[None, :]
     ok = slot < count[:, None]

@@ -102,6 +102,12 @@ class BarcodeMatchSpec:
     #   nuc: rev(end_qu[start-35:end-12]) → 7 truseq-rc + bc at 7 (utils.py:1068)
     #   3pGEX: rev(end_qu[start-32:start+3]) → 3 truseq-rc + bc at 3 (utils.py:1374)
     bc_query_offset: int = 14
+    # Nominal query offset where the REVERSE-COMPLEMENT of the barcode
+    # structure would sit inside the candidate (= typical candidate length
+    # − bc_query_offset − structure length). STAR searches both strands
+    # (scripts/barcode_align.sh); the engine's reverse pass screens the
+    # candidate against revcomp'd whitelist tables around this offset.
+    rc_query_offset: int = 20
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,7 +158,8 @@ register(ChemistrySpec(
                      k=6, max_ed_exclusive=7, n_wildcard=True, pick_last=True),
     subread=SubreadSpec("qstart", 0, False, "qend", 0, False, min_len=0),  # utils.py:146-148
     barcode=BarcodeMatchSpec(30, 40, 16, False, as_min=14,
-                             umi_ref_offset=46, umi_len=10, bc_query_offset=14),  # utils.py:615,699,708
+                             umi_ref_offset=46, umi_len=10, bc_query_offset=14,
+                             rc_query_offset=20),  # utils.py:615,699,708; rc: 50-14-16
     bcumi_rule="slice", bcumi_min_len=0,
     requires_adapter_for_subread=True,                        # utils.py:136-165
     subread_requires=None,
@@ -168,7 +175,8 @@ register(ChemistrySpec(
     # sub_strt = qend-60 (if qlen>60 else qstart), sub_end = qend+80 clamped
     subread=SubreadSpec("qend", -60, False, "qend", +80, True, min_len=0),  # utils.py:245-253
     barcode=BarcodeMatchSpec(30, 40, 16, False, as_min=14,
-                             umi_ref_offset=46, umi_len=12, bc_query_offset=14),  # utils.py:845,856
+                             umi_ref_offset=46, umi_len=12, bc_query_offset=14,
+                             rc_query_offset=22),  # utils.py:845,856; rc: 52-14-16
     bcumi_rule="slice", bcumi_min_len=0,
     requires_adapter_for_subread=False,                       # all subreads written, utils.py:266-269
     subread_requires=None,
@@ -199,7 +207,8 @@ register(ChemistrySpec(
     # VDJ subread: [max(0,qstart-200) : qstart+80]; accept len>100 & span>400
     subread=SubreadSpec("qstart", -200, True, "qstart", +80, False, min_len=100),  # utils.py:415-419,429
     barcode=BarcodeMatchSpec(15, 24, 14, True, as_min=30,
-                             umi_ref_offset=47, umi_len=9, bc_query_offset=8),   # utils.py:584-595,638,646-649
+                             umi_ref_offset=47, umi_len=9, bc_query_offset=8,
+                             rc_query_offset=16),   # utils.py:584-595,638,646-649; rc: 56-8-32
     bcumi_rule="rev_slideseq", bcumi_min_len=0,               # utils.py:443-448; post filter separate
     requires_adapter_for_subread=False,
     subread_requires="span400",                               # utils.py:405-407
@@ -216,7 +225,8 @@ register(ChemistrySpec(
     # sub = [max(0,qstart-350) : qstart+100]; accept dist<6 & len>100 & qlen>100
     subread=SubreadSpec("qstart", -350, True, "qstart", +100, False, min_len=100),  # utils.py:336-342
     barcode=BarcodeMatchSpec(15, 24, 14, True, as_min=30,
-                             umi_ref_offset=47, umi_len=9, bc_query_offset=6),   # pipeline.py:623, utils.py:638-649
+                             umi_ref_offset=47, umi_len=9, bc_query_offset=6,
+                             rc_query_offset=1),   # pipeline.py:623, utils.py:638-649; rc: 39-6-32
     bcumi_rule="rev_slice14", bcumi_min_len=0,                # utils.py:355
     requires_adapter_for_subread=True,                        # utils.py:350-357
     subread_requires="qlen100",
@@ -234,7 +244,8 @@ register(ChemistrySpec(
     # sub = [qstart : qend+100 clamped]; accept len>100
     subread=SubreadSpec("qstart", 0, False, "qend", +100, True, min_len=100),  # utils.py:1020-1029,1039
     barcode=BarcodeMatchSpec(16, 28, 16, False, as_min=14,
-                             umi_ref_offset=32, umi_len=12, bc_query_offset=7),  # utils.py:1125-1127,1150,1159
+                             umi_ref_offset=32, umi_len=12, bc_query_offset=7,
+                             rc_query_offset=20),  # utils.py:1125-1127,1150,1159; rc: 43-7-16
     bcumi_rule="rev_nuc", bcumi_min_len=30,                   # utils.py:1068,1077
     requires_adapter_for_subread=False,
     subread_requires=None,
@@ -253,7 +264,8 @@ register(ChemistrySpec(
     # sub = [max(0,qstart-1) : qend+1 clamped]; accept len>50
     subread=SubreadSpec("qstart", -1, True, "qend", +1, True, min_len=50),  # utils.py:1331-1341,1353
     barcode=BarcodeMatchSpec(4, 17, 16, False, as_min=14,
-                             umi_ref_offset=20, umi_len=12, bc_query_offset=3),  # utils.py:1451-1453,1479,1490-1497
+                             umi_ref_offset=20, umi_len=12, bc_query_offset=3,
+                             rc_query_offset=16),  # utils.py:1451-1453,1479,1490-1497; rc: 35-3-16
     bcumi_rule="rev_3pgex", bcumi_min_len=30,                 # utils.py:1374,1378
     requires_adapter_for_subread=False,
     subread_requires=None,

@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..chemistry import BarcodeMatchSpec
 from ..io import whitelist as wl
 from ..io.encode import PAD, encode_batch
-from ..ops.seed_screen import SeedTable, plan_for, screen
+from ..ops.seed_screen import plan_for
 from ..ops.sw import NEG, sw_end2end
 from ..stages.barcode import ACCEPT, BAD_UMI, LOW_AS, MULTIMAP, NO_CAND
 
@@ -50,11 +50,18 @@ def make_mesh(n_data: int, n_wl: int, devices: Sequence | None = None) -> Mesh:
 
 
 class ShardedWhitelist:
-    """Whitelist partitioned over the 'wl' axis: per-shard padded refs and
-    seed tables stacked on a leading shard axis."""
+    """Whitelist partitioned over the 'wl' axis: per-shard padded refs,
+    PRODUCT screen tables (ops/product_screen — the same screen the
+    single-chip matcher uses; per-shard tables pad to equal shapes so they
+    stack on the shard axis), and reverse-strand tables (revcomp'd refs +
+    a product table over the revcomp'd barcode structure — STAR searches
+    both strands, scripts/barcode_align.sh:14-35)."""
 
     def __init__(self, barcodes: np.ndarray, spec: BarcodeMatchSpec,
                  n_wl: int, jitter: int = 6, top_k: int = 8):
+        from ..io.encode import COMPLEMENT
+        from ..ops.product_screen import ProductTable
+        from ..stages.barcode import rc_half_layout
         self.spec = spec
         self.n_wl = n_wl
         self.top_k = top_k
@@ -66,68 +73,98 @@ class ShardedWhitelist:
         self.per_shard = per
         self.barcodes = np.asarray(padded)
         self.plan = plan_for(spec, spec.bc_query_offset, jitter)
-        refs_list, tables = [], []
-        maxocc = 1
+        s_len, rc_bounds, rc_deltas = rc_half_layout(spec)
+        self.rc_plan = type(self.plan)(s_len, rc_bounds, rc_deltas,
+                                       spec.rc_query_offset, jitter)
+        self.c_rc = spec.pad_right + s_len
+        refs_list, rc_refs_list, prods, rc_prods = [], [], [], []
         for s in range(n_wl):
             shard = self.barcodes[s * per:(s + 1) * per]
             codes, _ = encode_batch([b for b in shard], max_len=spec.bc_len)
             refs_np, ref_len = wl.padded_refs(shard, spec)
-            t = SeedTable(codes.astype(np.int64), self.plan)
+            refs_rc_np = COMPLEMENT[refs_np][:, ::-1]
+            struct_rc = refs_rc_np[:, spec.pad_right:spec.pad_right + s_len]
+            prods.append(ProductTable.build(
+                codes.astype(np.int64), self.plan.half_bounds,
+                self.plan.q_deltas))
+            rc_prods.append(ProductTable.build(
+                struct_rc.astype(np.int64), rc_bounds, rc_deltas))
+            assert prods[-1] is not None and rc_prods[-1] is not None, \
+                "per-shard pair table exceeds PAIR_LIMIT — raise wl_shards"
             refs_list.append(refs_np)
-            tables.append(t)
-            maxocc = max(maxocc, t.maxocc)
+            rc_refs_list.append(refs_rc_np)
             self.ref_len = int(ref_len)
-        self.maxocc = maxocc
         self.refs = np.stack(refs_list)                       # (n_wl, per, Lr)
-        self.tabs = []
-        for i in range(2):
-            self.tabs.append({
-                "starts": np.stack([t.starts[i] for t in tables]),
-                "counts": np.stack([t.counts[i] for t in tables]),
-                "entries": np.stack([t.entries[i] for t in tables]),
-                "hkeys": np.stack([t.half_keys[i] for t in tables]),
-            })
+        self.rc_refs = np.stack(rc_refs_list)
+        self.prod = self._stack_products(prods)
+        self.rc_prod = self._stack_products(rc_prods)
+        self.prod_meta = (prods[0].q_delta2, prods[0].l1, prods[0].l2)
+        self.rc_meta = (rc_prods[0].q_delta2, rc_prods[0].l1, rc_prods[0].l2)
         # number of real (non-pad) barcodes per shard
         self.n_real = np.minimum(
             np.maximum(n - per * np.arange(n_wl), 0), per).astype(np.int32)
+
+    @staticmethod
+    def _stack_products(prods):
+        """Stack per-shard ProductTables, zero/-1-padding distinct-half
+        dimensions to the max so shapes match across shards (padded pair
+        entries are -1 → screened candidates mask out naturally)."""
+        n1 = max(p.n1 for p in prods)
+        n2 = max(p.n2 for p in prods)
+        p1 = np.zeros((len(prods), prods[0].planes1.shape[0], n1), np.int8)
+        p2 = np.zeros((len(prods), prods[0].planes2.shape[0], n2), np.int8)
+        pair = np.full((len(prods), n1, n2), -1, np.int32)
+        for s, p in enumerate(prods):
+            p1[s, :, :p.n1] = p.planes1
+            p2[s, :, :p.n2] = p.planes2
+            pair[s, :p.n1, :p.n2] = p.pair
+        return {"planes1": p1, "planes2": p2, "pair": pair}
 
     def device_arrays(self, mesh: Mesh):
         sh = lambda spec_: NamedSharding(mesh, spec_)
         put = lambda x, s: jax.device_put(jnp.asarray(x), sh(s))
         arrs = dict(refs=put(self.refs, P("wl")),
+                    rc_refs=put(self.rc_refs, P("wl")),
                     n_real=put(self.n_real.reshape(self.n_wl, 1), P("wl")),
                     offsets=put((np.arange(self.n_wl, dtype=np.int32) *
                                  self.per_shard).reshape(self.n_wl, 1),
                                 P("wl")))
-        for i, t in enumerate(self.tabs):
+        for tag, t in (("p", self.prod), ("r", self.rc_prod)):
             for k, v in t.items():
-                arrs[f"{k}{i}"] = put(v, P("wl"))
+                arrs[f"{tag}_{k}"] = put(v, P("wl"))
         return arrs
 
 
 def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
     """shard_map'd whitelist matcher: candidates sharded over 'data',
-    whitelist over 'wl'."""
+    whitelist over 'wl'. Screens with the product screen (same as the
+    single-chip matcher) and runs the reverse-strand pass (all-gathered
+    rc best; STAR both-strand semantics)."""
+    from ..ops.product_screen import product_screen
+    from ..stages.barcode import RC_BEST
     spec = swl.spec
-    plan, top_k, maxocc = swl.plan, swl.top_k, swl.maxocc
+    plan, top_k = swl.plan, swl.top_k
+    jitter = plan.jitter
     c, ulen, as_min = spec.umi_ref_offset, spec.umi_len, spec.as_min
     rlen_s = swl.ref_len
+    qd2, l1, l2 = swl.prod_meta
+    rqd2, rl1, rl2 = swl.rc_meta
+    rc_nominal, c_rc = swl.rc_plan.nominal, swl.c_rc
 
-    def local(q, qlen, refs, n_real, offset,
-              starts0, counts0, entries0, hkeys0,
-              starts1, counts1, entries1, hkeys1):
+    def local(q, qlen, refs, rc_refs, n_real, offset,
+              p_planes1, p_planes2, p_pair,
+              r_planes1, r_planes2, r_pair):
         # leading wl-shard axis of size 1 inside the shard body
-        refs, n_real, offset = refs[0], n_real[0], offset[0]
-        starts0, counts0, entries0, hkeys0 = (starts0[0], counts0[0],
-                                              entries0[0], hkeys0[0])
-        starts1, counts1, entries1, hkeys1 = (starts1[0], counts1[0],
-                                              entries1[0], hkeys1[0])
+        refs, rc_refs = refs[0], rc_refs[0]
+        n_real, offset = n_real[0], offset[0]
+        p_planes1, p_planes2, p_pair = p_planes1[0], p_planes2[0], p_pair[0]
+        r_planes1, r_planes2, r_pair = r_planes1[0], r_planes2[0], r_pair[0]
         B = q.shape[0]
-        cand, cheap = screen(q, qlen, starts0, counts0, entries0, hkeys0,
-                             starts1, counts1, entries1, hkeys1,
-                             plan, top_k, maxocc)
+        K = max(2 * top_k, 16)
+        cand, cheap = product_screen(q, qlen, p_planes1, p_planes2, p_pair,
+                                     plan.nominal, jitter, qd2, l1, l2,
+                                     top_t=max(top_k, 8), top_k=K)
         cand = jnp.where(cand < n_real, cand, -1)        # mask shard padding
-        K = top_k
         has = cand >= 0
         ref_pairs = refs[jnp.clip(cand, 0, refs.shape[0] - 1)].reshape(B * K, -1)
         score, qpos, uvalid = sw_end2end(
@@ -146,6 +183,22 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
         r_score = jnp.max(jnp.where(other, score, NEG), axis=1)
         any_cand = jnp.any(has, axis=1)
         b_bc_g = jnp.where(b_bc >= 0, b_bc + offset, -1)
+
+        # ---- local reverse-strand best (same screen on revcomp'd refs)
+        cand_r, _ = product_screen(q, qlen, r_planes1, r_planes2, r_pair,
+                                   rc_nominal, jitter, rqd2, rl1, rl2,
+                                   top_t=8, top_k=8)
+        cand_r = jnp.where(cand_r < n_real, cand_r, -1)
+        Kr = cand_r.shape[1]
+        has_r = cand_r >= 0
+        rr = rc_refs[jnp.clip(cand_r, 0, rc_refs.shape[0] - 1)] \
+            .reshape(B * Kr, -1)
+        score_r, _, _ = sw_end2end(
+            jnp.repeat(q, Kr, axis=0), jnp.repeat(qlen, Kr), rr,
+            jnp.full((B * Kr,), rlen_s, jnp.int32), c_rc,
+            pad_left=spec.pad_right, full_len=rlen_s)
+        rc_local = jnp.max(jnp.where(has_r.reshape(-1), score_r,
+                                     NEG).reshape(B, Kr), axis=1)
 
         # ---- global combine over 'wl' ----
         g = lambda x: jax.lax.all_gather(x, "wl")        # (n_wl, B)
@@ -175,6 +228,12 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
         okk = any_g & ~low & ~multimap
         status = jnp.where(okk & umi_ok, ACCEPT,
                            jnp.where(okk, BAD_UMI, status))
+        # reverse-strand suppression (global rc best over 'wl'):
+        # rc > fwd → STAR flag-16 row the reference rejects; tie → 2 loci
+        rc_best = jnp.max(jax.lax.all_gather(rc_local, "wl"), axis=0)
+        status = jnp.where(rc_best > best_score, RC_BEST, status)
+        status = jnp.where((rc_best == best_score) & (rc_best > NEG),
+                           MULTIMAP, status)
         off = jnp.arange(ulen, dtype=jnp.int32)[None, :]
         uidx = jnp.clip(best_qpos[:, None] + off, 0, q.shape[1] - 1)
         umi = jnp.take_along_axis(q, uidx, axis=1)
@@ -188,10 +247,7 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
         counts = jax.lax.psum(counts, "data")
         return best_bc, best_score, status, umi, counts[None, :]
 
-    pspecs = dict(
-        q=P("data"), qlen=P("data"), refs=P("wl"), n_real=P("wl"),
-        offset=P("wl"), t=P("wl"))
-    in_specs = (P("data"), P("data"), P("wl"), P("wl"), P("wl")) + (P("wl"),) * 8
+    in_specs = (P("data"), P("data")) + (P("wl"),) * 10
     out_specs = (P("data"), P("data"), P("data"), P("data"), P("wl"))
 
     fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,

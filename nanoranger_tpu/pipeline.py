@@ -103,10 +103,18 @@ class DeconRun:
     """Streamed align+decon over an input fastq, accumulating BC-UMI
     candidates and writing subread/BCUMI artifacts.
 
-    data_shards > 1 runs the device part data-parallel: batch i chains on
-    device i%N while the host assembles earlier batches (deterministic
-    in-order merge, so N-device artifacts are byte-identical to 1-device —
-    SURVEY.md §7 layer 7; tested in tests/test_data_parallel.py).
+    Default (single-device) execution is the FUSED fast path
+    (stages/cli_step.py): one jitted program per batch covering
+    seed→chain→record extraction→extension→flank scan→BC-UMI slice→
+    whitelist match, byte-identical to the unfused path (reads with more
+    kept chains than device slots are rerouted through it). Set
+    NANORANGER_NO_FAST=1 to force the unfused path.
+
+    data_shards > 1 runs the unfused device part data-parallel: batch i
+    chains on device i%N while the host assembles earlier batches
+    (deterministic in-order merge, so N-device artifacts are
+    byte-identical to 1-device — SURVEY.md §7 layer 7; tested in
+    tests/test_data_parallel.py).
 
     Resume: when the stage artifacts already exist (and force=False), the
     BC-UMI candidates are reloaded from _BCUMI.fasta.gz instead of
@@ -116,8 +124,10 @@ class DeconRun:
 
     def __init__(self, spec, infile, outdir, sample, trns_ref,
                  batch_size=2048, max_len=4096, force=False,
-                 data_shards=1):
+                 data_shards=1, matcher=None, fast=None):
         self.spec = spec
+        self.prematch = None
+        self.n_deferred = 0
         t0 = time.time()
         sub_kind = "VDJ" if spec.name in (
             "3pXCR_slideseq", "3p10XTCR", "3p10XTCR_nuc") else "deconcat"
@@ -154,6 +164,13 @@ class DeconRun:
             return
 
         self.index = PanelIndex.from_fasta(trns_ref)
+        if fast is None:
+            fast = (data_shards <= 1 and
+                    os.environ.get("NANORANGER_NO_FAST", "") != "1")
+        if fast:
+            self._run_fast(spec, infile, outdir, sample, batch_size,
+                           max_len, matcher, t0)
+            return
         devs = None
         if data_shards > 1:
             import jax
@@ -213,6 +230,222 @@ class DeconRun:
         log(f"align+decon: {n_reads} reads → {n_sub} subreads, "
             f"{len(self.bcumi_seqs)} BC-UMI candidates "
             f"({time.time() - t0:.1f}s)")
+
+    def _run_fast(self, spec, infile, outdir, sample, batch_size, max_len,
+                  matcher, t0):
+        """Fused hot path: one device program per batch (stages/cli_step),
+        host assembles artifacts from downloaded slot coordinates. Batches
+        are padded to a fixed (batch_size, max_len) shape on accelerator
+        backends so exactly ONE program compiles per run (compile requests
+        over a remote-compile tunnel cost ~10-25 s each)."""
+        import jax
+
+        from collections import deque
+
+        from .io.encode import PAD
+        from .stages.cli_step import assemble_batch, build_cli_step
+
+        step = build_cli_step(spec, self.index, matcher=matcher)
+        self._fallback_aligner = None
+        pad_shapes = jax.default_backend() != "cpu"
+        umi_len = spec.barcode.umi_len if (matcher is not None and
+                                           spec.barcode) else 0
+        mbc, mscore, mstatus, mumi = [], [], [], []
+        n_reads = n_sub = 0
+        fsub = fastq.FastqWriter(self.sub_path)
+        fbc = FastaWriter(self.bcumi_path)
+        pending: deque = deque()
+        # deferred-read windowing: batches whose reads all fit the fused
+        # slots are written immediately; batches containing deferred reads
+        # buffer until one windowed fallback run covers them (bounded at
+        # FLUSH_BATCHES / DEFER_CAP so memory stays bounded and the
+        # unfused fallback — with its own one-time compiles — runs once
+        # per window instead of per batch)
+        FLUSH_BATCHES, DEFER_CAP = 8, 448
+        buffer: list = []
+        buf_defers = 0
+
+        def emit(asm):
+            nonlocal n_reads, n_sub
+            for nm, sq, ql in zip(asm.sub_names, asm.sub_seqs,
+                                  asm.sub_quals):
+                fsub.write(nm, sq, ql)
+            for nm, sq in zip(asm.bcumi_names, asm.bcumi_seqs):
+                fbc.write(nm, sq)
+            self.bcumi_names.extend(asm.bcumi_names)
+            self.bcumi_seqs.extend(asm.bcumi_seqs)
+            self.eds_rows.extend(asm.eds_rows)
+            self.polyA.extend(asm.polyA)
+            for k, v in asm.raw_bc_counts.items():
+                self.raw_counts[k] = self.raw_counts.get(k, 0) + v
+            if matcher is not None:
+                mbc.extend(asm.match_bc)
+                mscore.extend(asm.match_score)
+                mstatus.extend(asm.match_status)
+                mumi.extend(asm.match_umi)
+            self.n_deferred += asm.n_deferred_reads
+            n_sub += len(asm.sub_names)
+
+        def flush():
+            nonlocal buf_defers
+            if not buffer:
+                return
+            rows = []                       # (buffer slot, local read idx)
+            for bi, (batch, _n, out) in enumerate(buffer):
+                for i in np.where(out["defer"])[0]:
+                    rows.append((bi, int(i)))
+            groups_all: dict = {}
+            if rows:
+                Lm = max(buffer[bi][0].codes.shape[1] for bi, _ in rows)
+                from .io.encode import PAD as _PAD
+                n = len(rows)
+                cr = np.full((n, Lm), _PAD, np.int8)
+                lr = np.zeros(n, np.int32)
+                nr, qr = [], []
+                for k, (bi, i) in enumerate(rows):
+                    b = buffer[bi][0]
+                    w = b.codes.shape[1]
+                    cr[k, :w] = b.codes[i]
+                    lr[k] = b.lengths[i]
+                    nr.append(b.names[i])
+                    qr.append(b.quals[i])
+                g = self._slow_groups(spec, sample, cr, lr, nr, qr)
+                for k, (bi, i) in enumerate(rows):
+                    groups_all[(bi, i)] = g.get(k, {})
+            for bi, (batch, _n, out) in enumerate(buffer):
+                asm = assemble_batch(
+                    spec, out, batch.codes, batch.lengths, batch.names,
+                    batch.quals, self.index.names, sample,
+                    slow_fallback=lambda didx, bi=bi: {
+                        int(i): groups_all.get((bi, int(i)), {})
+                        for i in didx})
+                emit(asm)
+            buffer.clear()
+            buf_defers = 0
+            if getattr(self, "_t_steady0", None) is None:
+                # steady-state marker: the first flush has absorbed every
+                # one-time cost (step compile/cache-load/trace and, when
+                # deferred reads exist, the unfused fallback's compiles)
+                self._t_steady0 = time.time()
+                self._reads_at_steady0 = self._reads_so_far
+
+        self._t_steady0 = None
+        self._reads_so_far = 0
+
+        def drain():
+            nonlocal n_reads, buf_defers
+            batch, n_real, out_dev = pending.popleft()
+            out = jax.device_get(out_dev)
+            n_reads += n_real
+            self._reads_so_far = n_reads
+            nd = int(out["defer"].sum())
+            buffer.append((batch, n_real, out))
+            buf_defers += nd
+            if buf_defers == 0 or len(buffer) >= FLUSH_BATCHES or \
+                    buf_defers >= DEFER_CAP:
+                flush()
+
+        for batch in fastq.iter_batches(infile, batch_size, max_len=max_len):
+            n_real = len(batch)
+            if pad_shapes and (len(batch) < batch_size or
+                               batch.codes.shape[1] < max_len):
+                codes = np.full((batch_size, max_len), PAD, np.int8)
+                codes[:n_real, :batch.codes.shape[1]] = batch.codes
+                lengths = np.zeros(batch_size, np.int32)
+                lengths[:n_real] = batch.lengths
+                batch = fastq.ReadBatch(
+                    codes, lengths,
+                    batch.names + [""] * (batch_size - n_real),
+                    batch.quals + [b""] * (batch_size - n_real))
+            out_dev = step(batch.codes, batch.lengths)
+            pending.append((batch, n_real, out_dev))
+            if len(pending) > 1:
+                drain()
+        while pending:
+            drain()
+        flush()
+        fsub.close()
+        fbc.close()
+        if matcher is not None:
+            n = len(mbc)
+            umi = np.full((n, umi_len), PAD, np.int8)
+            pend = np.zeros(n, bool)
+            for i, u in enumerate(mumi):
+                if u is None:
+                    pend[i] = True              # deferred read — match later
+                else:
+                    umi[i] = u
+            self.prematch = {
+                "bc_idx": np.asarray(mbc, np.int32),
+                "score": np.asarray(mscore, np.int32),
+                "status": np.asarray(mstatus, np.int32),
+                "umi": umi, "pending": pend}
+        self.n_reads = n_reads
+        self.n_sub = n_sub
+        self.steady_reads_per_s = None
+        if getattr(self, "_t_steady0", None) and \
+                n_reads > self._reads_at_steady0:
+            dt = time.time() - self._t_steady0
+            if dt > 0:
+                self.steady_reads_per_s = round(
+                    (n_reads - self._reads_at_steady0) / dt, 1)
+        log(f"align+decon (fused): {n_reads} reads → {n_sub} subreads, "
+            f"{len(self.bcumi_seqs)} BC-UMI candidates"
+            + (f", {self.n_deferred} reads via unfused fallback"
+               if self.n_deferred else "")
+            + f" ({time.time() - t0:.1f}s)")
+
+    def _slow_groups(self, spec, sample, codes, lengths, names, quals):
+        """Unfused recompute of deferred reads (those with more kept
+        chains than fused-step slots), regrouped per input row for
+        in-order interleave by assemble_batch. Rows pad to a fixed 512
+        bucket so the unfused programs compile exactly once per run."""
+        from .align.aligner import extract_records
+        from .io.encode import PAD
+        from .ops.extend import extend_records_host
+        from .stages.decon import run_decon
+
+        if self._fallback_aligner is None:
+            self._fallback_aligner = PanelAligner(self.index)
+        n = len(lengths)
+        Nb = 512
+        while Nb < n:
+            Nb *= 2
+        L = codes.shape[1]
+        sc = np.full((Nb, L), PAD, np.int8)
+        sc[:n] = codes
+        sl = np.zeros(Nb, np.int32)
+        sl[:n] = np.asarray(lengths)
+        snames = list(names) + [""] * (Nb - n)
+        squals = list(quals) + [b""] * (Nb - n)
+        ch = self._fallback_aligner._chain(sc, sl)
+        rec = extract_records(ch, self.index, sl)
+        extend_records_host(rec, self.index, sc, sl)
+        out = run_decon(spec, sc, sl, snames, squals, rec,
+                        self.index.names, sample,
+                        dev_codes=ch.get("dev_codes"))
+        groups: dict = {}
+
+        def grp(gi):
+            return groups.setdefault(int(gi), {"sub": [], "bc": [],
+                                               "eds": [], "polyA": [],
+                                               "raw": []})
+
+        rd = rec.read_idx
+        for k, ri in enumerate(out.sub_rec):
+            grp(rd[ri])["sub"].append(
+                (out.sub_names[k], out.sub_seqs[k], out.sub_quals[k]))
+        for k, ri in enumerate(out.bcumi_rec):
+            g = grp(rd[ri])
+            g["bc"].append((out.bcumi_names[k], out.bcumi_seqs[k]))
+            if spec.bcumi_rule == "rev_slideseq":
+                g["polyA"].append(out.polyA[k])
+        if out.eds_rec is not None:
+            for k, ri in enumerate(out.eds_rec):
+                grp(rd[ri])["eds"].append(out.eds_rows[k])
+        for (ri, key) in (out.raw_rows or []):
+            grp(rd[ri])["raw"].append(key)
+        return groups
 
     def eds_artifacts(self, outdir, sample) -> list:
         """Mode-specific stats artifacts write_eds produces (resume set)."""
@@ -276,10 +509,10 @@ def _sharded_match_fn(spec, bcs_array, wl_shards, data_shards=1):
             q = np.pad(q, ((0, n_pad), (0, 0)))
             qlen = np.pad(qlen, (0, n_pad))
         bc, score, status, umi, _ = fn(
-            q, qlen, arrs["refs"], arrs["n_real"], arrs["offsets"],
-            arrs["starts0"], arrs["counts0"], arrs["entries0"],
-            arrs["hkeys0"], arrs["starts1"], arrs["counts1"],
-            arrs["entries1"], arrs["hkeys1"])
+            q, qlen, arrs["refs"], arrs["rc_refs"], arrs["n_real"],
+            arrs["offsets"], arrs["p_planes1"], arrs["p_planes2"],
+            arrs["p_pair"], arrs["r_planes1"], arrs["r_planes2"],
+            arrs["r_pair"])
         return {"bc_idx": np.asarray(bc)[:n], "score": np.asarray(score)[:n],
                 "status": np.asarray(status)[:n],
                 "umi": np.asarray(umi)[:n]}
@@ -300,12 +533,18 @@ def _match_fingerprint(spec, bcs_array, names):
 
 
 def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
-                   batch=4096, force=False, wl_shards=1, data_shards=1):
+                   batch=4096, force=False, wl_shards=1, data_shards=1,
+                   prematched=None, matcher=None):
     """Whitelist match of accumulated candidates → per-read assignment df
     + score histogram artifacts. The full assignment table persists as
     {sample}_assignments.csv.gz (our equivalent of the reference's
     _matching.sam stage checkpoint) and is reloaded on resume when the
-    run fingerprint (input candidates + whitelist + chemistry) matches."""
+    run fingerprint (input candidates + whitelist + chemistry) matches.
+
+    prematched: per-candidate results already computed by the fused decon
+    step (DeconRun.prematch) — rows with pending=True (candidates from
+    reads the fused step deferred) are matched here; everything else is
+    used as-is. Artifacts are identical either way."""
     apath = f"{outdir}/{sample}_assignments.csv.gz"
     mpath = apath + ".meta.json"
     fp = _match_fingerprint(spec, bcs_array, names)
@@ -332,25 +571,41 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
                 f"{os.path.basename(apath)}")
             return df, res
     t0 = time.time()
-    m = BarcodeMatcher(bcs_array, spec.barcode)
-    match = m.match
-    if wl_shards > 1 or data_shards > 1:
-        match = _sharded_match_fn(spec, bcs_array, wl_shards, data_shards)
-        log(f"whitelist match on a {data_shards}x{wl_shards} "
-            f"(data x wl) device mesh")
+    m = matcher or BarcodeMatcher(bcs_array, spec.barcode)
     Lq = 96
-    all_res = {k: [] for k in ("bc_idx", "score", "status", "umi")}
-    for s in range(0, len(seqs), batch):
-        q, qlen = encode_batch(seqs[s:s + batch], max_len=Lq)
-        n = q.shape[0]
-        if n < batch:     # pad the tail: exact-n shapes would recompile
-            q = np.pad(q, ((0, batch - n), (0, 0)))
-            qlen = np.pad(qlen, (0, batch - n))
-        r = match(q, qlen)
-        for k in all_res:
-            all_res[k].append(r[k][:n])
-    res = {k: np.concatenate(v) if v else np.zeros(0, np.int32)
-           for k, v in all_res.items()}
+    if prematched is not None and wl_shards <= 1 and data_shards <= 1:
+        res = {k: np.asarray(prematched[k]).copy()
+               for k in ("bc_idx", "score", "status", "umi")}
+        pend = np.where(prematched["pending"])[0]
+        for s in range(0, len(pend), batch):
+            rows = pend[s:s + batch]
+            q, qlen = encode_batch([seqs[i] for i in rows], max_len=Lq)
+            n = q.shape[0]
+            if n < batch:
+                q = np.pad(q, ((0, batch - n), (0, 0)))
+                qlen = np.pad(qlen, (0, batch - n))
+            r = m.match(q, qlen)
+            for k in res:
+                res[k][rows] = r[k][:n]
+    else:
+        match = m.match
+        if wl_shards > 1 or data_shards > 1:
+            match = _sharded_match_fn(spec, bcs_array, wl_shards,
+                                      data_shards)
+            log(f"whitelist match on a {data_shards}x{wl_shards} "
+                f"(data x wl) device mesh")
+        all_res = {k: [] for k in ("bc_idx", "score", "status", "umi")}
+        for s in range(0, len(seqs), batch):
+            q, qlen = encode_batch(seqs[s:s + batch], max_len=Lq)
+            n = q.shape[0]
+            if n < batch:     # pad the tail: exact-n shapes would recompile
+                q = np.pad(q, ((0, batch - n), (0, 0)))
+                qlen = np.pad(qlen, (0, batch - n))
+            r = match(q, qlen)
+            for k in all_res:
+                all_res[k].append(r[k][:n])
+        res = {k: np.concatenate(v) if v else np.zeros(0, np.int32)
+               for k, v in all_res.items()}
     status = res["status"]
     acc = status == ACCEPT
     # histogram over reads that would appear with flag==0 in the STAR SAM
@@ -560,6 +815,8 @@ def _ensure_clonotypes(mode, sub_path, outdir, sample, trns_ref,
 def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
                  barcodes=None, xpecies=None, batch_size=2048, force=False,
                  wl_shards=1, data_shards=1):
+    _honor_jax_platforms_env()       # library entry too, not only main()
+    _enable_compilation_cache()
     os.makedirs(outdir, exist_ok=True)
     spec = chemistry.get(mode)
     dflt = MODE_DEFAULTS[mode]
@@ -571,12 +828,29 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
 
     tele = Telemetry(mode, infile)
     ts = time.time()
+    # modes whose whitelist is known up front (everything but the
+    # data-driven 3p10XGEX) load it early so the fused decon step can
+    # match candidates inline (stages/cli_step.py); failures fall back to
+    # the unfused flow, which reports them identically after decon
+    bcs = None
+    matcher = None
+    if mode not in ("RTX", "3p10XGEX") and wl_shards <= 1 and \
+            data_shards <= 1 and \
+            os.environ.get("NANORANGER_NO_FAST", "") != "1":
+        try:
+            bcs = _load_whitelist(barcodes, mode)
+        except SystemExit:
+            bcs = None
+        if bcs is not None and len(bcs):
+            from .stages.barcode import BarcodeMatcher
+            matcher = BarcodeMatcher(bcs, spec.barcode)
     run = DeconRun(spec, infile, outdir, sample, trns_ref, batch_size,
-                   force=force, data_shards=data_shards)
+                   force=force, data_shards=data_shards, matcher=matcher)
     run.write_eds(outdir, sample)
     tele.stage("align_decon", time.time() - ts, run.n_reads,
                subreads=run.n_sub, candidates=len(run.bcumi_seqs),
-               resumed=run.resumed)
+               resumed=run.resumed, deferred_reads=run.n_deferred or None,
+               steady_reads_per_s=getattr(run, "steady_reads_per_s", None))
 
     if mode == "RTX":
         ts = time.time()
@@ -600,7 +874,8 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
                               if c > 20 and len(b) == 16 and "N" not in b
                               and "." not in b])
     else:
-        bcs = _load_whitelist(barcodes, mode)
+        if bcs is None:
+            bcs = _load_whitelist(barcodes, mode)
     if len(bcs) == 0:
         log("no whitelist barcodes — stopping after decon")
         tele.write(outdir, sample)
@@ -609,7 +884,9 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
     ts = time.time()
     df, res = match_barcodes(spec, bcs, run.bcumi_names, run.bcumi_seqs,
                              outdir, sample, force=force,
-                             wl_shards=wl_shards, data_shards=data_shards)
+                             wl_shards=wl_shards, data_shards=data_shards,
+                             prematched=None if run.resumed else
+                             run.prematch, matcher=matcher)
     tele.stage("barcode_match", time.time() - ts, len(run.bcumi_seqs),
                accepted=int((df.status == ACCEPT).sum()),
                whitelist=int(len(bcs)))
@@ -689,6 +966,12 @@ def _enable_compilation_cache():
     multi-sample studies). Respects an existing user setting."""
     import jax
     if jax.config.jax_compilation_cache_dir:
+        return
+    if jax.default_backend() == "cpu":
+        # CPU AOT blobs embed machine-feature flags; reloading them on a
+        # host with different features risks SIGILL (cpu_aot_loader
+        # warning). CPU paths compile fast anyway — cache only
+        # accelerator executables.
         return
     cache = os.environ.get(
         "NANORANGER_CACHE",

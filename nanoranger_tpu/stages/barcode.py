@@ -15,6 +15,14 @@ STAR's SAM output):
   3 NO_CAND   — no seed hit at all (STAR unmapped)
   4 BAD_UMI   — accepted barcode but UMI column unaligned or truncated
                 (reference umi='N' / len<umi_len → bad_bc, utils.py:710-716)
+  6 RC_BEST   — the reverse-complement alignment outscores every forward
+                one: STAR (which searches both strands,
+                scripts/barcode_align.sh:14-35) would report it with flag
+                16, and the reference's `read.flag == 0` gate rejects it
+                AND drops it from the flag-0 score histogram
+                (utils.py:699,728-735). A forward/reverse score TIE is two
+                best alignments → outFilterMultimapNmax 1 drops the read
+                entirely (MULTIMAP).
 """
 
 from __future__ import annotations
@@ -27,11 +35,75 @@ import numpy as np
 
 from ..chemistry import BarcodeMatchSpec
 from ..io import whitelist as wl
-from ..io.encode import PAD, encode_batch
+from ..io.encode import COMPLEMENT, PAD, encode_batch
 from ..ops.seed_screen import SeedTable, plan_for, screen
 from ..ops.sw import NEG, sw_end2end
 
 ACCEPT, LOW_AS, MULTIMAP, NO_CAND, BAD_UMI = 0, 1, 2, 3, 4
+RC_BEST = 6
+
+
+def _best_score_only(q, qlen, cand, refs, rlen_scalar, umi_ref_offset,
+                     pad_left, full_len):
+    """Max exact score over the candidate set (reverse-strand pass needs
+    only the best score, not UMI/runner bookkeeping)."""
+    B, K = cand.shape
+    has = cand >= 0
+    ref_pairs = refs[jnp.clip(cand, 0, refs.shape[0] - 1)].reshape(B * K, -1)
+    score, _, _ = sw_end2end(jnp.repeat(q, K, axis=0), jnp.repeat(qlen, K),
+                             ref_pairs,
+                             jnp.full((B * K,), rlen_scalar, jnp.int32),
+                             umi_ref_offset, pad_left=pad_left,
+                             full_len=full_len)
+    return jnp.max(jnp.where(has, score.reshape(B, K), NEG), axis=1)
+
+
+def _apply_rc(status, best_score, rc_best, umi):
+    """STAR both-strand semantics: rc strictly better → flag-16 row the
+    reference rejects (RC_BEST); tie → two best loci → multimap drop."""
+    status = jnp.where(rc_best > best_score, RC_BEST, status)
+    status = jnp.where((rc_best == best_score) & (rc_best > NEG),
+                       MULTIMAP, status)
+    umi = jnp.where((status == ACCEPT)[:, None], umi, PAD)
+    return status, umi
+
+
+def rc_half_layout(spec: BarcodeMatchSpec):
+    """Seed-half layout of the REVCOMP'd barcode structure (the bc, or
+    bc8+linker+bc6 for slideseq — revcomp'd structure = rc(bc6) + rc(linker)
+    + rc(bc8), so the exact-seed halves are its two bead-barcode parts)."""
+    if spec.slideseq_linker:
+        s_len = spec.umi_ref_offset - spec.pad_left          # 32
+        return s_len, ((0, 6), (s_len - 8, s_len)), (0, s_len - 8)
+    return spec.bc_len, ((0, 8), (8, 16)), (0, 8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nominal", "jitter", "q_delta2", "l1",
+                                    "l2", "c_rc", "pad_left", "full_len"))
+def _rc_best_product(q, qlen, refs_rc, rlen_scalar, planes1, planes2, pair,
+                     nominal, jitter, q_delta2, l1, l2, c_rc,
+                     pad_left=None, full_len=None):
+    from ..ops.product_screen import product_screen
+    cand, _ = product_screen(q, qlen, planes1, planes2, pair, nominal,
+                             jitter, q_delta2, l1, l2, top_t=8, top_k=8)
+    return _best_score_only(q, qlen, cand, refs_rc, rlen_scalar, c_rc,
+                            pad_left, full_len)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "c_rc", "top_k", "maxocc",
+                                    "pad_left", "full_len"))
+def _rc_best_bucket(q, qlen, refs_rc, rlen_scalar,
+                    starts0, counts0, entries0, hkeys0,
+                    starts1, counts1, entries1, hkeys1,
+                    plan, c_rc, top_k, maxocc,
+                    pad_left=None, full_len=None):
+    cand, _ = screen(q, qlen, starts0, counts0, entries0, hkeys0,
+                     starts1, counts1, entries1, hkeys1, plan, top_k,
+                     maxocc)
+    return _best_score_only(q, qlen, cand, refs_rc, rlen_scalar, c_rc,
+                            pad_left, full_len)
 
 
 def _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
@@ -100,9 +172,10 @@ def _match_jit(q, qlen, refs, rlen_scalar,
     cand, _ = screen(q, qlen, starts0, counts0, entries0, hkeys0,
                      starts1, counts1, entries1, hkeys1, plan, top_k,
                      maxocc)
-    return _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
-                                   umi_ref_offset, umi_len, as_min, top_k,
-                                   pad_left, full_len)
+    bc, score, status, umi, qpos = _select_from_candidates(
+        q, qlen, cand, refs, rlen_scalar, umi_ref_offset, umi_len, as_min,
+        top_k, pad_left, full_len)
+    return bc, score, status, umi, qpos
 
 
 @functools.partial(jax.jit,
@@ -122,16 +195,17 @@ def _match_jit_product(q, qlen, refs, rlen_scalar, planes1, planes2, pair,
     cand, _ = product_screen(q, qlen, planes1, planes2, pair, nominal,
                              jitter, q_delta2, l1, l2,
                              top_t=max(top_k, 8), top_k=max(2 * top_k, 16))
-    return _select_from_candidates(q, qlen, cand, refs, rlen_scalar,
-                                   umi_ref_offset, umi_len, as_min,
-                                   max(2 * top_k, 16), pad_left, full_len)
+    return _select_from_candidates(
+        q, qlen, cand, refs, rlen_scalar, umi_ref_offset, umi_len, as_min,
+        max(2 * top_k, 16), pad_left, full_len)
 
 
 class BarcodeMatcher:
     """Holds device-resident whitelist tables for one chemistry."""
 
     def __init__(self, barcodes: np.ndarray, spec: BarcodeMatchSpec,
-                 jitter: int = 8, top_k: int = 8, force_bucket: bool = False):
+                 jitter: int = 8, top_k: int = 8, force_bucket: bool = False,
+                 rc_pass: bool = True):
         from ..ops.product_screen import ProductTable
         self.spec = spec
         self.barcodes = np.asarray(barcodes)
@@ -164,6 +238,61 @@ class BarcodeMatcher:
                                   t.half_keys[0], t.starts[1], t.counts[1],
                                   t.entries[1], t.half_keys[1]))
 
+        # ---- reverse-strand tables: score(q, rc(ref)) == score(rc(q), ref),
+        # so the SAME query screens against the revcomp'd whitelist —
+        # full-row revcomp of the padded refs (N pads swap sides) and a
+        # screen table over the revcomp'd barcode structure at the mirrored
+        # nominal offset (STAR searches both strands,
+        # scripts/barcode_align.sh:14-35; reference accepts flag==0 only,
+        # utils.py:699 — see RC_BEST above)
+        self.rc_pass = rc_pass
+        if rc_pass:
+            from ..io.encode import COMPLEMENT as _C
+            refs_rc_np = _C[refs_np][:, ::-1]
+            s_len, rc_bounds, rc_deltas = rc_half_layout(spec)
+            self.c_rc = spec.pad_right + s_len   # column after the rc struct
+            self.refs_rc = jnp.asarray(refs_rc_np)
+            self.refs_rc_band = jnp.asarray(
+                refs_rc_np[:, spec.pad_right:self.c_rc + 1])
+            struct_rc = refs_rc_np[:, spec.pad_right:spec.pad_right + s_len]
+            self.rc_plan = type(self.plan)(s_len, rc_bounds, rc_deltas,
+                                           spec.rc_query_offset, jitter)
+            self.rc_product = None if force_bucket else ProductTable.build(
+                struct_rc.astype(np.int64), rc_bounds, rc_deltas)
+            if self.rc_product is not None:
+                self._rc_planes1 = jnp.asarray(self.rc_product.planes1)
+                self._rc_planes2 = jnp.asarray(self.rc_product.planes2)
+                self._rc_pair = jnp.asarray(self.rc_product.pair)
+                self._rc_tables = None
+            else:
+                t = SeedTable(struct_rc.astype(np.int64), self.rc_plan)
+                self.rc_maxocc = t.maxocc
+                self._rc_tables = tuple(jnp.asarray(a) for a in
+                                        (t.starts[0], t.counts[0],
+                                         t.entries[0], t.half_keys[0],
+                                         t.starts[1], t.counts[1],
+                                         t.entries[1], t.half_keys[1]))
+
+    def rc_best_device(self, q, qlen):
+        """Best reverse-strand score per candidate (jit-composable)."""
+        import jax as _jax
+        banded = _jax.default_backend() != "cpu"
+        refs = self.refs_rc_band if banded else self.refs_rc
+        pad_left = self.spec.pad_right if banded else None
+        full_len = self.ref_len if banded else None
+        if self.rc_product is not None:
+            p = self.rc_product
+            return _rc_best_product(
+                q, qlen, refs, jnp.int32(self.ref_len),
+                self._rc_planes1, self._rc_planes2, self._rc_pair,
+                nominal=self.rc_plan.nominal, jitter=self.jitter,
+                q_delta2=p.q_delta2, l1=p.l1, l2=p.l2, c_rc=self.c_rc,
+                pad_left=pad_left, full_len=full_len)
+        return _rc_best_bucket(
+            q, qlen, refs, jnp.int32(self.ref_len), *self._rc_tables,
+            plan=self.rc_plan, c_rc=self.c_rc, top_k=self.top_k,
+            maxocc=self.rc_maxocc, pad_left=pad_left, full_len=full_len)
+
     def match_device(self, q, qlen):
         """Jit-composable match: returns (bc, score, status, umi, qpos)."""
         import jax as _jax
@@ -173,7 +302,7 @@ class BarcodeMatcher:
         full_len = self.ref_len if banded else None
         if self.product is not None:
             p = self.product
-            return _match_jit_product(
+            bc, score, status, umi, qpos = _match_jit_product(
                 q, qlen, refs, jnp.int32(self.ref_len),
                 self._planes1, self._planes2, self._pair,
                 nominal=self.plan.nominal, jitter=self.jitter,
@@ -181,12 +310,17 @@ class BarcodeMatcher:
                 umi_ref_offset=self.spec.umi_ref_offset,
                 umi_len=self.spec.umi_len, as_min=self.spec.as_min,
                 top_k=self.top_k, pad_left=pad_left, full_len=full_len)
-        return _match_jit(
-            q, qlen, refs, jnp.int32(self.ref_len), *self._tables,
-            plan=self.plan, umi_ref_offset=self.spec.umi_ref_offset,
-            umi_len=self.spec.umi_len, as_min=self.spec.as_min,
-            top_k=self.top_k, maxocc=self.maxocc,
-            pad_left=pad_left, full_len=full_len)
+        else:
+            bc, score, status, umi, qpos = _match_jit(
+                q, qlen, refs, jnp.int32(self.ref_len), *self._tables,
+                plan=self.plan, umi_ref_offset=self.spec.umi_ref_offset,
+                umi_len=self.spec.umi_len, as_min=self.spec.as_min,
+                top_k=self.top_k, maxocc=self.maxocc,
+                pad_left=pad_left, full_len=full_len)
+        if self.rc_pass:
+            rc_best = self.rc_best_device(q, qlen)
+            status, umi = _apply_rc(status, score, rc_best, umi)
+        return bc, score, status, umi, qpos
 
     def match(self, q: np.ndarray, qlen: np.ndarray):
         """q: (B, Lq) int8 BC-UMI candidates; returns dict of numpy arrays."""

@@ -130,6 +130,11 @@ class DeconResult:
     eds_rows: list               # mode-specific tuples for _eds.csv
     raw_bc_counts: dict          # 3p10XGEX bcumi[3:19] counter (utils.py:1376)
     polyA: list                  # slideseq (name, polyA) rows
+    # record indices backing eds_rows / raw count keys — lets the fused
+    # CLI path regroup a deferred read's rows at its read position
+    # (stages/cli_step.assemble_batch)
+    eds_rec: np.ndarray | None = None
+    raw_rows: list | None = None          # [(record_idx, key), ...]
 
 
 def _anchor_code(name: str) -> int:
@@ -337,9 +342,11 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
         return s[post:] if post else s
 
     raw_counts: dict = {}
+    raw_rows: list = []
     for r in raw_count_rows:
         key = bcumi_str(r)[3:3 + 16]                        # utils.py:1376
         raw_counts[key] = raw_counts.get(key, 0) + 1
+        raw_rows.append((int(r), key))
 
     bc_rows = np.where(accept_bc)[0]
     bc_names, bc_seqs = [], []
@@ -356,24 +363,28 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
     # 5p10XGEX computes no eds artifact — the reference's decon_5p10XGEX
     # writes only _deconcat/_BCUMI (utils.py:173-176).
     eds_rows = []
+    eds_rec = np.zeros(0, np.int64)
     if spec.name == "5p10XTCR":
         lclip = -spec.flank.lo
-        for r in np.where(hit)[0]:
+        eds_rec = np.where(hit)[0]
+        for r in eds_rec:
             start_corr = (lclip - gs[r]) if s_qstart[r] > lclip else (s_qstart[r] - gs[r])
             eds_rows.append([int(start_corr), ref_names[rec.ref_id[r]],
                              int(bge[r] - bgs[r]), int(ed[r])])
     elif spec.name == "3p10XTCR":
         eds_rows = [int(x) for x in ed]                     # every record
+        eds_rec = np.arange(R)
     elif spec.name == "3pXCR_slideseq":
         # (name-with-'>' , editDistance) per pre-filter hit — the exact
         # rows the reference accumulates for _eds_names.csv
         # (newnamef carries the fasta '>' prefix, utils.py:426,459-461)
+        eds_rec = slideseq_pre_rows
         eds_rows = [(">" + fmt_name(r), int(ed[r]))
-                    for r in slideseq_pre_rows]
+                    for r in eds_rec]
 
     return DeconResult(sub_rows, sub_names, sub_seqs, sub_quals,
                        bc_rows, bc_names, bc_seqs, eds_rows, raw_counts,
-                       polyA_rows)
+                       polyA_rows, eds_rec, raw_rows)
 
 
 def _a_frac_ok(window: np.ndarray, pa_len: np.ndarray) -> np.ndarray:

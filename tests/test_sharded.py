@@ -41,7 +41,8 @@ def test_sharded_match_equals_single_device(rng, mesh_shape):
     wl = _mk_whitelist(rng, 300)
     q, qlen = _mk_candidates(rng, wl, 64, spec)
 
-    single = BarcodeMatcher(wl, spec, force_bucket=True)
+    single = BarcodeMatcher(wl, spec)   # product screen + rc pass,
+    # matching what the sharded matcher now runs per shard
     ref = single.match(q, qlen)
 
     n_data, n_wl = mesh_shape
@@ -50,9 +51,10 @@ def test_sharded_match_equals_single_device(rng, mesh_shape):
     arrs = swl.device_arrays(mesh)
     match_fn = build_sharded_match(swl, mesh)
     bc, score, status, umi, counts = match_fn(
-        q, qlen, arrs["refs"], arrs["n_real"], arrs["offsets"],
-        arrs["starts0"], arrs["counts0"], arrs["entries0"], arrs["hkeys0"],
-        arrs["starts1"], arrs["counts1"], arrs["entries1"], arrs["hkeys1"])
+        q, qlen, arrs["refs"], arrs["rc_refs"], arrs["n_real"],
+        arrs["offsets"], arrs["p_planes1"], arrs["p_planes2"],
+        arrs["p_pair"], arrs["r_planes1"], arrs["r_planes2"],
+        arrs["r_pair"])
     bc, score, status, umi = map(np.asarray, (bc, score, status, umi))
 
     np.testing.assert_array_equal(status, ref["status"])

@@ -1,0 +1,247 @@
+"""Reference-oracle parity report (VERDICT r2 missing #1 / next-step #2).
+
+For each bundled real sample: run the engine's aligner to get per-record
+spans, hand the SAME spans (as pysam-style views) to the independently
+written reference-logic oracle (tools/oracle.py), run the engine pipeline
+on the same reads, and diff per-record artifacts:
+
+  - deconcat/_VDJ entries (name → seq/qual)  [subread extraction parity]
+  - _BCUMI entries (name → candidate seq)    [BC-UMI extraction parity]
+  - barcode assignments on a sampled candidate subset, scored by the
+    brute-force python STAR-model oracle over a reduced whitelist
+    (ops.sw.sw_end2end_reference; the device kernel is validated against
+    it exhaustively in tests/test_sw.py)
+
+Divergence classes (counted + exampled, never hidden):
+  - "wraparound": python negative-index slices the reference wraps and
+    the engine clamps (utils.py:1068,1322,1374) — same records rejected.
+  - any other class fails the report.
+
+Usage: JAX_PLATFORMS=cpu python tools/oracle_parity.py [--n-reads 1200]
+Writes tests/goldens/oracle_report.json (asserted by
+tests/test_oracle_parity.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools import oracle  # noqa: E402
+from tools.gen_real_goldens import CONFIGS, write_prefix  # noqa: E402
+
+DATA = os.path.join(REPO, "data")
+
+
+def engine_record_views(mode, infile, trns_ref, sample, batch_size=1024):
+    """Engine alignment records as pysam-style views, in record order."""
+    from nanoranger_tpu.align.aligner import PanelAligner
+    from nanoranger_tpu.align.index import PanelIndex
+    from nanoranger_tpu.io import fastq
+    from nanoranger_tpu.io.encode import COMPLEMENT, decode
+
+    index = PanelIndex.from_fasta(trns_ref)
+    aligner = PanelAligner(index, extend_ends=True)
+    views = []
+    for batch in fastq.iter_batches(infile, batch_size, max_len=4096):
+        rec = aligner.align(batch.codes, batch.lengths)
+        for r in range(len(rec)):
+            i = int(rec.read_idx[r])
+            n = int(batch.lengths[i])
+            strand = int(rec.strand[r])
+            codes = batch.codes[i, :n]
+            qual = batch.quals[i][:n]
+            if strand:
+                codes = COMPLEMENT[codes][::-1]
+                qual = qual[::-1]
+            s_qs = (n - int(rec.qend[r])) if strand else int(rec.qstart[r])
+            s_qe = (n - int(rec.qstart[r])) if strand else int(rec.qend[r])
+            views.append(oracle.RecordView(
+                qname=batch.names[i], flag=int(rec.flag[r]),
+                seq=decode(np.asarray(codes, np.int8), n),
+                qual=qual.decode("ascii"),
+                query_alignment_start=s_qs, query_alignment_end=s_qe,
+                reference_name=index.names[int(rec.ref_id[r])],
+                reference_start=int(rec.tstart[r]),
+                reference_end=int(rec.tend[r])))
+    return views
+
+
+def read_engine_artifacts(outdir, sample, mode):
+    from nanoranger_tpu.io.fasta import iter_fasta
+    sub_kind = "VDJ" if mode in ("3pXCR_slideseq", "3p10XTCR",
+                                 "3p10XTCR_nuc") else "deconcat"
+    dec = {}
+    p = f"{outdir}/{sample}_{sub_kind}.fastq.gz"
+    with gzip.open(p, "rt") as f:
+        while True:
+            h = f.readline().rstrip()
+            if not h:
+                break
+            seq = f.readline().rstrip()
+            f.readline()
+            qual = f.readline().rstrip()
+            dec[h[1:]] = (seq, qual)
+    bc = {}
+    bp = f"{outdir}/{sample}_BCUMI.fasta.gz"
+    if os.path.isfile(bp):
+        for nm, sq in iter_fasta(bp):
+            bc[nm] = sq
+    return dec, bc
+
+
+def diff_entries(eng: dict, orc: dict):
+    """Return (n_agree, divergences list)."""
+    agree = 0
+    div = []
+    for k in set(eng) | set(orc):
+        if eng.get(k) == orc.get(k):
+            agree += 1
+        else:
+            div.append({"name": k, "engine": repr(eng.get(k))[:120],
+                        "oracle": repr(orc.get(k))[:120]})
+    return agree, div
+
+
+def sampled_match_parity(bcumi: dict, spec, whitelist_path,
+                         n_sample=10, n_refs=1000, seed=0):
+    """Brute-force python-oracle match on a sampled candidate subset vs
+    the engine matcher, over a reduced whitelist that contains the
+    engine's top hits plus random decoys (full-whitelist exhaustive
+    scoring is the device kernel's job — tests/test_sw.py validates the
+    kernel against this same python DP)."""
+    from nanoranger_tpu.io import whitelist as wl
+    from nanoranger_tpu.io.encode import decode, encode_batch
+    from nanoranger_tpu.stages.barcode import ACCEPT, BarcodeMatcher
+
+    rng = np.random.default_rng(seed)
+    names = list(bcumi)
+    if not names:
+        return {"n": 0, "agree": 0}
+    pick = rng.choice(len(names), size=min(n_sample, len(names)),
+                      replace=False)
+    cands = [bcumi[names[i]] for i in pick]
+
+    full = wl.load(whitelist_path)
+    m_full = BarcodeMatcher(full, spec.barcode)
+    q, qlen = encode_batch(cands, max_len=96)
+    r_full = m_full.match(q, qlen)
+
+    # reduced list: engine best hits + decoys
+    keep = set()
+    for b in r_full["bc_idx"]:
+        if b >= 0:
+            keep.add(int(b))
+    keep |= set(int(x) for x in rng.choice(len(full), size=n_refs,
+                                           replace=False))
+    keep = sorted(keep)
+    sub = full[keep]
+    m_sub = BarcodeMatcher(sub, spec.barcode)
+    r_sub = m_sub.match(q, qlen)
+
+    refs_np, _ = wl.padded_refs(sub, spec.barcode)
+    agree = n_rc_recall = 0
+    rows = []
+    for j, cand in enumerate(cands):
+        bi, score, status, umi = oracle.oracle_match_exhaustive(
+            cand, refs_np, spec.barcode.umi_ref_offset,
+            spec.barcode.umi_len, spec.barcode.as_min)
+        e_status = int(r_sub["status"][j])
+        e_bc = int(r_sub["bc_idx"][j])
+        e_umi = decode(r_sub["umi"][j]) if e_status == ACCEPT else ""
+        ok = (status == "accept") == (e_status == ACCEPT)
+        if status == "accept" and e_status == ACCEPT:
+            ok = ok and bi == e_bc and umi == e_umi
+        # known divergence class: the oracle's reverse-strand best is
+        # exhaustive while the engine's is screened (top-8 around the
+        # mirrored nominal offset) — a noise-floor rc alignment the screen
+        # misses flips rejection direction, never the accepted barcode
+        rc_recall = (not ok) and (status in ("rc_best", "multimap"))
+        n_rc_recall += int(rc_recall)
+        agree += int(ok)
+        rows.append({"cand": cand, "oracle": [int(bi), int(score), status,
+                                              umi],
+                     "engine": [e_bc, int(r_sub["score"][j]), e_status,
+                                e_umi], "agree": bool(ok),
+                     "class": "rc_screen_recall" if rc_recall else
+                     ("ok" if ok else "UNEXPLAINED")})
+    return {"n": len(cands), "agree": agree,
+            "rc_screen_recall": n_rc_recall, "rows": rows}
+
+
+def run_sample(sample, mode, trns, genome, bcs, n_reads, outroot):
+    from nanoranger_tpu import chemistry
+    from nanoranger_tpu.pipeline import run_pipeline
+    outdir = os.path.join(outroot, sample)
+    os.makedirs(outdir, exist_ok=True)
+    src = os.path.join(DATA, "samples", sample + ".fastq.gz")
+    infile = os.path.join(outdir, "in.fastq.gz")
+    write_prefix(src, infile, n_reads)
+    run_pipeline(mode, infile, outdir, "t",
+                 trns_ref=os.path.join(DATA, trns),
+                 genome_ref="/nonexistent",
+                 barcodes=os.path.join(DATA, bcs) if bcs else None,
+                 batch_size=1024)
+    eng_dec, eng_bc = read_engine_artifacts(outdir, "t", mode)
+
+    views = engine_record_views(mode, infile, os.path.join(DATA, trns), "t")
+    orc = oracle.DECON_ORACLES[mode](views, "t")
+    orc_dec = {n: (s, q) for n, s, q in orc.deconcat}
+    orc_bc = {n: s for n, s in orc.bcumi}
+
+    d_agree, d_div = diff_entries(eng_dec, orc_dec)
+    b_agree, b_div = diff_entries(eng_bc, orc_bc)
+
+    spec = chemistry.get(mode)
+    match = None
+    if spec.barcode is not None and bcs:
+        match = sampled_match_parity(eng_bc, spec, os.path.join(DATA, bcs))
+
+    rep = {
+        "mode": mode, "n_reads": n_reads,
+        "records": len(views),
+        "deconcat": {"n": max(len(eng_dec), len(orc_dec)),
+                     "agree": d_agree,
+                     "divergences": d_div[:20]},
+        "bcumi": {"n": max(len(eng_bc), len(orc_bc)), "agree": b_agree,
+                  "divergences": b_div[:20]},
+        "match_sampled": match,
+    }
+    return rep
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-reads", type=int, default=1200)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "tests", "goldens", "oracle_report.json"))
+    a = ap.parse_args()
+    import tempfile
+    outroot = tempfile.mkdtemp(prefix="oracle_parity_")
+    report = {"n_reads": a.n_reads, "samples": {}}
+    for (sample, mode, trns, genome, bcs) in CONFIGS:
+        print(f"[oracle] {sample} ({mode})", flush=True)
+        rep = run_sample(sample, mode, trns, genome, bcs, a.n_reads,
+                         outroot)
+        report["samples"][sample] = rep
+        print(f"  deconcat {rep['deconcat']['agree']}/"
+              f"{rep['deconcat']['n']}  bcumi {rep['bcumi']['agree']}/"
+              f"{rep['bcumi']['n']}  match "
+              f"{rep['match_sampled'] and rep['match_sampled']['agree']}"
+              f"/{rep['match_sampled'] and rep['match_sampled']['n']}",
+              flush=True)
+    with open(a.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", a.out)
+
+
+if __name__ == "__main__":
+    main()
