@@ -67,7 +67,7 @@ class FastaWriter:
         self._tmp = path + ".tmp"
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         if path.endswith(".gz"):
-            self._f = gzip.open(self._tmp, "wb", compresslevel=4)
+            self._f = gzip.open(self._tmp, "wb", compresslevel=1)
         else:
             self._f = open(self._tmp, "wb")
 

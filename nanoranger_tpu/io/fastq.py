@@ -157,12 +157,15 @@ class FastqWriter:
     (the reference resumes from half-written files after a crashed tool,
     SURVEY.md §5 — a hazard fixed here, not replicated)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, compresslevel: int = 1):
+        # level 1: artifact writes sit on the streamed pipeline's critical
+        # path; deflate level is a ~2.5x time / ~15% size trade (the
+        # reference shells out to parallel pigz instead)
         self.path = path
         self._tmp = path + ".tmp"
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         if path.endswith(".gz"):
-            self._f = gzip.open(self._tmp, "wb", compresslevel=4)
+            self._f = gzip.open(self._tmp, "wb", compresslevel=compresslevel)
         else:
             self._f = open(self._tmp, "wb")
 

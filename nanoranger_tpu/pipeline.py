@@ -261,7 +261,7 @@ class DeconRun:
         # FLUSH_BATCHES / DEFER_CAP so memory stays bounded and the
         # unfused fallback — with its own one-time compiles — runs once
         # per window instead of per batch)
-        FLUSH_BATCHES, DEFER_CAP = 8, 448
+        FLUSH_BATCHES, DEFER_CAP = 16, 448
         buffer: list = []
         buf_defers = 0
 
@@ -679,12 +679,12 @@ def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=512,
             rows.append((int(rec.ref_id[r]), int(rec.tstart[r]),
                          int(rec.flag[r]), name, exons[r],
                          batch.codes[i, :batch.lengths[i]].copy(),
-                         batch.quals[i]))
+                         batch.quals[i], int(rec.mapq[r])))
     rows.sort(key=lambda x: (x[0], x[1]))
     # base-level per-exon CIGARs through the native banded aligner (exon
     # q coords from extract_exons are already in stored orientation)
     q_segs, t_segs, seg_of = [], [], []
-    for (rid, ts, flag, name, blocks, codes, qual) in rows:
+    for (rid, ts, flag, name, blocks, codes, qual, _mq) in rows:
         stored = COMPLEMENT[codes][::-1] if flag & 16 else codes
         lo = len(q_segs)
         for (t_lo, t_hi, q_lo, q_hi) in blocks:
@@ -698,7 +698,7 @@ def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=512,
     cig_re = re.compile(r"(\d+)([=XIDN])")
     with BAMWriter(bam_path, gindex.names,
                    [len(s) for s in gindex.seq_codes], index=True) as w:
-        for k, (rid, ts, flag, name, blocks, codes, qual) in enumerate(rows):
+        for k, (rid, ts, flag, name, blocks, codes, qual, mq) in enumerate(rows):
             cb, ub, xt = tag_map[name]
             if flag & 16:
                 stored = COMPLEMENT[codes][::-1]
@@ -725,7 +725,7 @@ def genome_stage(spec, outdir, sample, genome_ref, tag_map, batch_size=512,
             tail = len(stored) - blocks[-1][3]
             if tail:
                 cig.append((tail, "S"))
-            w.write(name, flag, rid, ts, 60, cig, stored, squal,
+            w.write(name, flag, rid, ts, mq, cig, stored, squal,
                     tags={"NM": nm_sum, "AS": as_sum,
                           "CB": cb, "UB": ub, "XT": xt})
             all_trns.append(xt)
