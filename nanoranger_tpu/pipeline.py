@@ -248,6 +248,19 @@ class DeconRun:
         step = build_cli_step(spec, self.index, matcher=matcher)
         self._fallback_aligner = None
         pad_shapes = jax.default_backend() != "cpu"
+        if pad_shapes:
+            # AOT executable cache: deterministic cold start (the jax
+            # persistent cache keys are process-unstable for this program
+            # on the tunnel backend — runtime/aot_cache.py)
+            from .io.encode import PAD as _PAD
+            from .runtime.aot_cache import get_or_compile
+            example = (np.full((batch_size, max_len), _PAD, np.int8),
+                       np.zeros(batch_size, np.int32))
+            extra = [spec.name, self.index.hashes, self.index.tpos]
+            if matcher is not None:
+                extra.append(np.asarray(matcher.barcodes))
+            step = get_or_compile(f"cli_step_{spec.name}", step, example,
+                                  tuple(extra), log=log)
         umi_len = spec.barcode.umi_len if (matcher is not None and
                                            spec.barcode) else 0
         mbc, mscore, mstatus, mumi = [], [], [], []

@@ -236,7 +236,21 @@ def call_clonotypes(sub_fastq: str, v_fastas: list, outdir: str,
                 cdr3_nt=nt, cdr3_aa=aa, clean=clean,
                 c_name=c_name, c_score=int(c_score)))
 
-    clones, cloneID = assemble(calls)
+    # germline context for the clone exports: V tails from the conserved
+    # Cys (CDR3 imputation) and the bundled D panel (junction D calls)
+    from ..io.encode import decode as _dec
+    v_tails = {index.names[v]: _dec(np.asarray(
+        v_codes[v][cys[v]:], np.int8), len(v_codes[v]) - cys[v])
+        for v in range(len(v_codes)) if cys[v] >= 0}
+    d_panel = None
+    import os as _os
+    d_path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__)))), "data",
+        "TR_D_human.fa")
+    if _os.path.isfile(d_path):
+        from .clonotype import DPanel
+        d_panel = DPanel(d_path)
+    clones, cloneID = assemble(calls, v_tails=v_tails, d_panel=d_panel)
     write_exports(clones, cloneID, outdir, sample)
     log(f"native clonotyper: {n_total} subreads → {n_aligned} V-aligned "
         f"+ {n_fallback} name-hinted, {len(calls)} CDR3 calls, "

@@ -34,6 +34,82 @@ CLONE_COLUMNS = ["cloneId", "cloneCount", "chains", "aaSeqImputedCDR3",
                  "allCHitsWithScore"]
 
 
+class DPanel:
+    """Diversity-segment caller over the junction interior.
+
+    Germline D sequences from data/TR_D_human.fa (IMGT/GENE-DB human
+    TRBD/TRDD germline alleles; D genes exist only for TRB/TRD/IGH — the
+    bundled reference panels carry none, and MiXCR's own exports leave D
+    empty whenever the short segment is untraceable). A D call needs an
+    ungapped window of >= MIN_D_MATCH matching bases with at most one
+    mismatch inside the junction between the V-templated first codon and
+    the J anchor codon."""
+
+    MIN_D_MATCH = 7
+
+    def __init__(self, fasta_path: str):
+        from ..io.fasta import read_fasta_encoded
+        from ..io.encode import decode as _dec
+        names, seqs = read_fasta_encoded(fasta_path)
+        self.entries = [(nm, _dec(np.asarray(s, np.int8), len(s)))
+                        for nm, s in zip(names, seqs)]
+
+    def call(self, junction_nt: str, chain: str):
+        """Best D hit inside the junction interior → (name, matched_bases)
+        or ("", 0). D segments appear as exonuclease-TRIMMED germline
+        substrings flanked by untemplated N nucleotides, so per alignment
+        offset we score the longest window containing at most one
+        mismatch (two-pointer run scan), not the full overlap."""
+        if len(junction_nt) < 6 + self.MIN_D_MATCH:
+            return "", 0
+        interior = junction_nt[3:-3]          # V codon / J anchor trimmed
+        best, best_n = "", 0
+        for nm, d in self.entries:
+            if not nm.upper().startswith(chain.upper()[:3]):
+                continue
+            ld = len(d)
+            for off in range(-ld + self.MIN_D_MATCH,
+                             len(interior) - self.MIN_D_MATCH + 1):
+                a = max(0, off)
+                b = min(len(interior), off + ld)
+                if b - a < self.MIN_D_MATCH:
+                    continue
+                eq = [interior[i] == d[i - off] for i in range(a, b)]
+                # longest window with <= 1 mismatch
+                lo = mm = 0
+                for hi in range(len(eq)):
+                    mm += not eq[hi]
+                    while mm > 1:
+                        mm -= not eq[lo]
+                        lo += 1
+                    match = (hi - lo + 1) - mm
+                    if match >= self.MIN_D_MATCH and match > best_n:
+                        best, best_n = nm, match
+        return best, best_n
+
+
+def impute_cdr3(nt: str, v_tail_nt: str | None):
+    """Germline imputation of the V-templated junction prefix (MiXCR's
+    `exportClones -p fullImputed` analogue, reference scripts/mixcr.sh:15):
+    N bases in the CDR3 prefix that the assigned V's germline tail (from
+    the conserved Cys) covers are replaced by the germline base, as long
+    as the read and germline agree on the surrounding prefix (>= 2/3 of
+    the non-N overlap). Returns the (possibly) imputed nt string."""
+    if v_tail_nt is None or "N" not in nt:
+        return nt
+    k = min(len(nt), len(v_tail_nt))
+    pairs = [(a, b) for a, b in zip(nt[:k], v_tail_nt[:k]) if a != "N"]
+    if pairs:
+        agree = sum(1 for a, b in pairs if a == b)
+        if agree * 3 < len(pairs) * 2:
+            return nt
+    out = list(nt)
+    for i in range(k):
+        if out[i] == "N":
+            out[i] = v_tail_nt[i]
+    return "".join(out)
+
+
 @dataclasses.dataclass
 class ReadCall:
     """One successful CDR3 call for one subread."""
@@ -102,8 +178,14 @@ def _empty():
             pd.DataFrame(columns=["descrsR1", "cloneId", "chains"]))
 
 
-def assemble(calls: list) -> tuple[pd.DataFrame, pd.DataFrame]:
+def assemble(calls: list, v_tails: dict | None = None,
+             d_panel: "DPanel | None" = None
+             ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Two-tier clone assembly; cloneId = rank by read count (like MiXCR).
+
+    v_tails: optional {v_name: germline nt from the conserved Cys} for
+    CDR3 N-base imputation (fullImputed analogue). d_panel: optional
+    DPanel for junction D-segment calls.
 
     Returns (clones_df, cloneID_df):
       clones_df columns: CLONE_COLUMNS
@@ -242,15 +324,39 @@ def assemble(calls: list) -> tuple[pd.DataFrame, pd.DataFrame]:
         else:
             j_hits.append("")
             c_hits.append("")
+
+    # D-segment hits inside the junction (data/TR_D_human.fa; only loci
+    # with germline D genes can carry one — elsewhere empty, as MiXCR's
+    # own exports are when the segment is untraceable)
+    d_hits = []
+    for nt, ch in zip(clones.cdr3_nt, clones.chain):
+        nm, sc = d_panel.call(nt, ch) if d_panel is not None else ("", 0)
+        d_hits.append(f"{nm}({int(sc)})" if nm else "")
+
+    # fullImputed analogue: impute N bases in the V-templated prefix from
+    # the assigned V's germline tail, then re-translate
+    nt_out, aa_out = [], []
+    from .cdr3 import translate
+    from ..io.encode import encode as _enc
+    for nt, aa, vn in zip(clones.cdr3_nt, clones.cdr3_aa, clones.v_name):
+        nt2 = impute_cdr3(nt, (v_tails or {}).get(vn))
+        if nt2 != nt:
+            shifted = aa.endswith("_")
+            aa2 = translate(_enc(nt2)) + ("_" if shifted else "")
+            nt_out.append(nt2)
+            aa_out.append(aa2 if not shifted else aa)
+        else:
+            nt_out.append(nt)
+            aa_out.append(aa)
     out_clones = pd.DataFrame({
         "cloneId": clones.cloneId,
         "cloneCount": clones.cloneCount.astype(float),
         "chains": clones.chain,
-        "aaSeqImputedCDR3": clones.cdr3_aa,
-        "nSeqImputedCDR3": clones.cdr3_nt,
+        "aaSeqImputedCDR3": aa_out,
+        "nSeqImputedCDR3": nt_out,
         "allVHitsWithScore": [f"{v.split('|')[0]}*00({int(s)})"
                               for v, s in zip(clones.v_name, clones.v_score)],
-        "allDHitsWithScore": "",   # no D panel bundled (MiXCR often empty)
+        "allDHitsWithScore": d_hits,
         "allJHitsWithScore": j_hits,
         "allCHitsWithScore": c_hits,
     })
