@@ -101,30 +101,46 @@ class PanelIndex:
         return self.ref_offset[self.ref_id] + self.tpos.astype(np.int64)
 
 
-def _sketch_small_batch(seqs, lens):
-    """One padded sketch_batch over all small refs: per-seq sketching would
-    compile a fresh XLA program per unique length; pow2-bucketed (B, L)
-    shapes are shared across panels and runs."""
+def _sketch_small_batch(seqs, lens, max_rows: int = 1024):
+    """Padded sketch_batch over the small refs, in bounded row groups:
+    pow2-bucketed (B, L) shapes keep XLA compiles shared across panels and
+    runs, and the row cap keeps peak memory bounded for transcriptome-
+    scale panels (GENCODE: ~250k transcripts — one monolithic padded
+    batch would materialize tens of GB)."""
     from ..io.encode import PAD
     R = len(seqs)
-    Lmax = int(lens.max())
-    L = 128
-    while L < Lmax:
-        L *= 2
-    B = 1
-    while B < R:
-        B *= 2
-    codes = np.full((B, L), PAD, np.int8)
-    for rid, s_ in enumerate(seqs):
-        codes[rid, :len(s_)] = np.asarray(s_, np.int8)
-    ln = np.zeros(B, np.int32)
-    ln[:R] = lens
-    h_b, p_b, s_b, cnt = sketch_batch(codes, ln, L)
-    h_b, p_b, s_b = np.asarray(h_b), np.asarray(p_b), np.asarray(s_b)
-    cnt = np.asarray(cnt)
-    return ([h_b[r, :cnt[r]] for r in range(R)],
-            [p_b[r, :cnt[r]] for r in range(R)],
-            [s_b[r, :cnt[r]] for r in range(R)])
+    # group refs by pow2 length bucket so padding waste stays ~2x and each
+    # (rows, L) shape compiles once
+    order = sorted(range(R), key=lambda r: int(lens[r]))
+    hs: list = [None] * R
+    ps: list = [None] * R
+    ss: list = [None] * R
+    i = 0
+    while i < R:
+        grp = order[i:i + max_rows]
+        Lmax = int(lens[grp[-1]])
+        L = 128
+        while L < Lmax:
+            L *= 2
+        B = 1
+        while B < len(grp):
+            B *= 2
+        codes = np.full((B, L), PAD, np.int8)
+        ln = np.zeros(B, np.int32)
+        for k, rid in enumerate(grp):
+            s_ = seqs[rid]
+            codes[k, :len(s_)] = np.asarray(s_, np.int8)
+            ln[k] = lens[rid]
+        h_b, p_b, s_b, cnt = sketch_batch(codes, ln, L)
+        h_b, p_b, s_b = np.asarray(h_b), np.asarray(p_b), np.asarray(s_b)
+        cnt = np.asarray(cnt)
+        for k, rid in enumerate(grp):
+            c = int(cnt[k])
+            hs[rid] = h_b[k, :c]
+            ps[rid] = p_b[k, :c]
+            ss[rid] = s_b[k, :c]
+        i += max_rows
+    return hs, ps, ss
 
 
 def _sketch_chunked(code: np.ndarray, chunk: int = CHUNK_KMERS,

@@ -245,22 +245,23 @@ class DeconRun:
         from .io.encode import PAD
         from .stages.cli_step import assemble_batch, build_cli_step
 
-        step = build_cli_step(spec, self.index, matcher=matcher)
+        step, tables = build_cli_step(spec, self.index, matcher=matcher)
         self._fallback_aligner = None
         pad_shapes = jax.default_backend() != "cpu"
-        if pad_shapes:
+        if pad_shapes and os.environ.get("NANORANGER_AOT", "") == "1":
             # AOT executable cache: deterministic cold start (the jax
             # persistent cache keys are process-unstable for this program
-            # on the tunnel backend — runtime/aot_cache.py)
+            # — runtime/aot_cache.py). Tables are step ARGUMENTS, so the
+            # executable is content-independent: any panel/whitelist with
+            # the same table shapes reuses it. Opt-in (NANORANGER_AOT=1):
+            # on standard TPU VMs the ~200MB executable loads in seconds;
+            # the CI tunnel backend can hang on large transfers.
             from .io.encode import PAD as _PAD
             from .runtime.aot_cache import get_or_compile
             example = (np.full((batch_size, max_len), _PAD, np.int8),
-                       np.zeros(batch_size, np.int32))
-            extra = [spec.name, self.index.hashes, self.index.tpos]
-            if matcher is not None:
-                extra.append(np.asarray(matcher.barcodes))
+                       np.zeros(batch_size, np.int32), tables)
             step = get_or_compile(f"cli_step_{spec.name}", step, example,
-                                  tuple(extra), log=log)
+                                  (spec.name,), log=log)
         umi_len = spec.barcode.umi_len if (matcher is not None and
                                            spec.barcode) else 0
         mbc, mscore, mstatus, mumi = [], [], [], []
@@ -335,12 +336,6 @@ class DeconRun:
                 emit(asm)
             buffer.clear()
             buf_defers = 0
-            if getattr(self, "_t_steady0", None) is None:
-                # steady-state marker: the first flush has absorbed every
-                # one-time cost (step compile/cache-load/trace and, when
-                # deferred reads exist, the unfused fallback's compiles)
-                self._t_steady0 = time.time()
-                self._reads_at_steady0 = self._reads_so_far
 
         self._t_steady0 = None
         self._reads_so_far = 0
@@ -354,9 +349,25 @@ class DeconRun:
             nd = int(out["defer"].sum())
             buffer.append((batch, n_real, out))
             buf_defers += nd
+            if self._t_steady0 is None and nd:
+                # prewarm the unfused fallback programs on this batch's
+                # deferred rows so their one-time compiles land before the
+                # steady-state marker (results discarded; the windowed
+                # flush recomputes them in order)
+                didx = np.where(out["defer"])[0]
+                cr = batch.codes[didx]
+                self._slow_groups(spec, sample, cr,
+                                  np.asarray(batch.lengths)[didx],
+                                  [batch.names[j] for j in didx],
+                                  [batch.quals[j] for j in didx])
             if buf_defers == 0 or len(buffer) >= FLUSH_BATCHES or \
                     buf_defers >= DEFER_CAP:
                 flush()
+            if self._t_steady0 is None:
+                # everything one-time (step compile/AOT load, fallback
+                # compiles) has now happened at least once
+                self._t_steady0 = time.time()
+                self._reads_at_steady0 = n_reads
 
         for batch in fastq.iter_batches(infile, batch_size, max_len=max_len):
             n_real = len(batch)
@@ -370,7 +381,7 @@ class DeconRun:
                     codes, lengths,
                     batch.names + [""] * (batch_size - n_real),
                     batch.quals + [b""] * (batch_size - n_real))
-            out_dev = step(batch.codes, batch.lengths)
+            out_dev = step(batch.codes, batch.lengths, tables)
             pending.append((batch, n_real, out_dev))
             if len(pending) > 1:
                 drain()

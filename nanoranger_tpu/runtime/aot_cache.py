@@ -68,7 +68,7 @@ def cache_key(name: str, example_args, extra_parts=()) -> str:
     h.update(jax.__version__.encode())
     dev = jax.devices()[0]
     h.update(f"{dev.platform}:{getattr(dev, 'device_kind', '')}".encode())
-    for a in example_args:
+    for a in jax.tree.leaves(example_args):
         a = np.asarray(a)
         h.update(f"{a.shape}:{a.dtype}".encode())
     for p in extra_parts:

@@ -273,38 +273,61 @@ class BarcodeMatcher:
                                          t.starts[1], t.counts[1],
                                          t.entries[1], t.half_keys[1]))
 
-    def rc_best_device(self, q, qlen):
-        """Best reverse-strand score per candidate (jit-composable)."""
+    def device_tables(self):
+        """The table arrays the jit-composable match consumes, as an
+        explicit pytree — callers building large fused programs pass
+        these as ARGUMENTS so the compiled executable stays table-free
+        (constant-embedding bloats executables ~20x and makes cache keys
+        content-dependent)."""
         import jax as _jax
         banded = _jax.default_backend() != "cpu"
-        refs = self.refs_rc_band if banded else self.refs_rc
+        t = {"refs": self.refs_band if banded else self.refs}
+        if self.product is not None:
+            t.update(planes1=self._planes1, planes2=self._planes2,
+                     pair=self._pair)
+        else:
+            t["tables"] = self._tables
+        if self.rc_pass:
+            t["rc_refs"] = self.refs_rc_band if banded else self.refs_rc
+            if self.rc_product is not None:
+                t.update(rc_planes1=self._rc_planes1,
+                         rc_planes2=self._rc_planes2,
+                         rc_pair=self._rc_pair)
+            else:
+                t["rc_tables"] = self._rc_tables
+        return t
+
+    def rc_best_with(self, q, qlen, t):
+        """Best reverse-strand score per candidate from explicit tables."""
+        import jax as _jax
+        banded = _jax.default_backend() != "cpu"
         pad_left = self.spec.pad_right if banded else None
         full_len = self.ref_len if banded else None
         if self.rc_product is not None:
             p = self.rc_product
             return _rc_best_product(
-                q, qlen, refs, jnp.int32(self.ref_len),
-                self._rc_planes1, self._rc_planes2, self._rc_pair,
+                q, qlen, t["rc_refs"], jnp.int32(self.ref_len),
+                t["rc_planes1"], t["rc_planes2"], t["rc_pair"],
                 nominal=self.rc_plan.nominal, jitter=self.jitter,
                 q_delta2=p.q_delta2, l1=p.l1, l2=p.l2, c_rc=self.c_rc,
                 pad_left=pad_left, full_len=full_len)
         return _rc_best_bucket(
-            q, qlen, refs, jnp.int32(self.ref_len), *self._rc_tables,
-            plan=self.rc_plan, c_rc=self.c_rc, top_k=self.top_k,
-            maxocc=self.rc_maxocc, pad_left=pad_left, full_len=full_len)
+            q, qlen, t["rc_refs"], jnp.int32(self.ref_len),
+            *t["rc_tables"], plan=self.rc_plan, c_rc=self.c_rc,
+            top_k=self.top_k, maxocc=self.rc_maxocc, pad_left=pad_left,
+            full_len=full_len)
 
-    def match_device(self, q, qlen):
-        """Jit-composable match: returns (bc, score, status, umi, qpos)."""
+    def match_device_with(self, q, qlen, t):
+        """Jit-composable match from explicit tables (device_tables())."""
         import jax as _jax
         banded = _jax.default_backend() != "cpu"
-        refs = self.refs_band if banded else self.refs
         pad_left = self.spec.pad_left if banded else None
         full_len = self.ref_len if banded else None
         if self.product is not None:
             p = self.product
             bc, score, status, umi, qpos = _match_jit_product(
-                q, qlen, refs, jnp.int32(self.ref_len),
-                self._planes1, self._planes2, self._pair,
+                q, qlen, t["refs"], jnp.int32(self.ref_len),
+                t["planes1"], t["planes2"], t["pair"],
                 nominal=self.plan.nominal, jitter=self.jitter,
                 q_delta2=p.q_delta2, l1=p.l1, l2=p.l2,
                 umi_ref_offset=self.spec.umi_ref_offset,
@@ -312,15 +335,19 @@ class BarcodeMatcher:
                 top_k=self.top_k, pad_left=pad_left, full_len=full_len)
         else:
             bc, score, status, umi, qpos = _match_jit(
-                q, qlen, refs, jnp.int32(self.ref_len), *self._tables,
+                q, qlen, t["refs"], jnp.int32(self.ref_len), *t["tables"],
                 plan=self.plan, umi_ref_offset=self.spec.umi_ref_offset,
                 umi_len=self.spec.umi_len, as_min=self.spec.as_min,
                 top_k=self.top_k, maxocc=self.maxocc,
                 pad_left=pad_left, full_len=full_len)
         if self.rc_pass:
-            rc_best = self.rc_best_device(q, qlen)
+            rc_best = self.rc_best_with(q, qlen, t)
             status, umi = _apply_rc(status, score, rc_best, umi)
         return bc, score, status, umi, qpos
+
+    def match_device(self, q, qlen):
+        """Jit-composable match: returns (bc, score, status, umi, qpos)."""
+        return self.match_device_with(q, qlen, self.device_tables())
 
     def match(self, q: np.ndarray, qlen: np.ndarray):
         """q: (B, Lq) int8 BC-UMI candidates; returns dict of numpy arrays."""

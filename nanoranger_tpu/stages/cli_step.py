@@ -271,18 +271,27 @@ def build_cli_step(spec: ChemistrySpec, index: PanelIndex, matcher=None,
                    S: int = 4, Lc: int = 96):
     """One jitted per-batch program for the streamed pipeline.
 
-    step(codes (B, L) int8, lengths (B,) int32) → dict of flat (B*S,)
-    arrays (emission order: read-major, chain-root ascending) plus (B,)
-    n_chains/defer. The host assembles artifacts from these via
-    assemble_batch(); reads with defer=True must be recomputed on the
-    unfused path.
+    Returns (step, tables): step(codes (B, L) int8, lengths (B,) int32,
+    tables) → dict of flat (B*S,) arrays (emission order: read-major,
+    chain-root ascending) plus (B,) n_chains/defer. `tables` is the
+    device-resident pytree of index/whitelist arrays — passed as an
+    ARGUMENT (not closure constants) so the compiled executable stays
+    small, AOT-cacheable, and reusable across whitelists of equal shape.
+    The host assembles artifacts via assemble_batch(); reads with
+    defer=True are recomputed on the unfused path by the caller.
     """
-    idx_arrays = prepare_index_arrays(index)
-    ref_lens_d = jnp.asarray(index.ref_lens.astype(np.int32))
-    ref_flat_d = jnp.asarray(
-        np.concatenate([np.asarray(s, np.int8) for s in index.seq_codes])
-        if index.n_refs else np.zeros(1, np.int8))
-    ref_off_d = jnp.asarray(index.ref_offset.astype(np.int32))
+    ps, pc, planes = prepare_index_arrays(index)
+    tables = {
+        "prefix_start": ps, "prefix_count": pc, "planes": planes,
+        "ref_lens": jnp.asarray(index.ref_lens.astype(np.int32)),
+        "ref_flat": jnp.asarray(
+            np.concatenate([np.asarray(s, np.int8)
+                            for s in index.seq_codes])
+            if index.n_refs else np.zeros(1, np.int8)),
+        "ref_off": jnp.asarray(index.ref_offset.astype(np.int32)),
+    }
+    if matcher is not None and spec.barcode is not None:
+        tables["m"] = matcher.device_tables()
 
     f = spec.flank
     scan = spec.scan
@@ -295,14 +304,15 @@ def build_cli_step(spec: ChemistrySpec, index: PanelIndex, matcher=None,
     from .decon import _anchor_code, _scan_flanks
 
     @jax.jit
-    def step(codes, lengths):
+    def step(codes, lengths, t):
         B, L = codes.shape
         m = max(64, ((L // 4) + 63) // 64 * 64)
-        chain_out = seed_and_chain(codes, lengths, *idx_arrays,
+        chain_out = seed_and_chain(codes, lengths, t["prefix_start"],
+                                   t["prefix_count"], t["planes"],
                                    max_minimizers=m)
-        rec = _records_exact(chain_out, lengths, ref_lens_d, S)
-        ext = _extend_slots(codes, lengths, rec, ref_flat_d, ref_off_d,
-                            ref_lens_d, S)
+        rec = _records_exact(chain_out, lengths, t["ref_lens"], S)
+        ext = _extend_slots(codes, lengths, rec, t["ref_flat"],
+                            t["ref_off"], t["ref_lens"], S)
         R = B * S
         read_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
         ok = rec["ok"].reshape(R)
@@ -439,13 +449,13 @@ def build_cli_step(spec: ChemistrySpec, index: PanelIndex, matcher=None,
                 (sort_key, jnp.arange(R, dtype=jnp.int32)), num_keys=1)
             sel = perm[:M]
             spill = perm[M:]
-            bc_m, score_m, status_m, umi_m, _ = matcher.match_device(
-                cand[sel], blen[sel])
+            bc_m, score_m, status_m, umi_m, _ = matcher.match_device_with(
+                cand[sel], blen[sel], t["m"])
             n_spill = jnp.sum(accept_bc[spill])
 
             def run_spill(_):
-                b, s, st, u, _q = matcher.match_device(cand[spill],
-                                                       blen[spill])
+                b, s, st, u, _q = matcher.match_device_with(
+                    cand[spill], blen[spill], t["m"])
                 return b, s, st, u
 
             def no_spill(_):
@@ -497,7 +507,7 @@ def build_cli_step(spec: ChemistrySpec, index: PanelIndex, matcher=None,
             out["umi"] = jnp.concatenate(cols, axis=1)
         return out
 
-    return step
+    return step, tables
 
 # ---------------------------------------------------------------------------
 # host-side artifact assembly
