@@ -75,7 +75,7 @@ def extend_scores(q, qlen, t, tlen, F=F_EXT):
 
 
 def extend_records_host(rec, index, codes, lengths, F: int = F_EXT,
-                        max_rounds: int = 4):
+                        max_rounds: int = 4, min_bucket: int = 0):
     """Refine record spans in place; returns per-record (ql, tl, qr, tr)
     total extension amounts (stored-orientation left/right). codes: (B, L)
     int8 original reads; rec fields are updated in place.
@@ -115,7 +115,10 @@ def extend_records_host(rec, index, codes, lengths, F: int = F_EXT,
         n_act = len(active)
         if n_act == 0:
             break
-        Nb = 256                    # pow2 bucket: stable jit shapes
+        # pow2 bucket: stable jit shapes. min_bucket pins the bucket so
+        # every round (and every caller passing the same value) hits ONE
+        # compiled shape — the deferred-read fallback prewarms it.
+        Nb = max(256, min_bucket)
         while Nb < 2 * n_act:
             Nb *= 2
         qf = np.zeros((Nb, F), np.int8) - 1

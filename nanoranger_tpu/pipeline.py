@@ -234,10 +234,17 @@ class DeconRun:
     def _run_fast(self, spec, infile, outdir, sample, batch_size, max_len,
                   matcher, t0):
         """Fused hot path: one device program per batch (stages/cli_step),
-        host assembles artifacts from downloaded slot coordinates. Batches
-        are padded to a fixed (batch_size, max_len) shape on accelerator
-        backends so exactly ONE program compiles per run (compile requests
-        over a remote-compile tunnel cost ~10-25 s each)."""
+        host assembles artifacts from downloaded slot coordinates.
+
+        Reads dispatch in LENGTH-BUCKETED fixed shapes (batch_size, Lb)
+        for Lb in {1024, 2048, max_len}: ONT read medians are ~500 nt, so
+        padding every batch to max_len makes seed+chain ~4x more expensive
+        than the data requires, while exact per-batch shapes would
+        recompile constantly (~10-25 s per compile request over a
+        remote-compile tunnel). Each read carries its input ordinal; an
+        order-restoring writer emits artifacts strictly in input order, so
+        bucketing changes NOTHING about the artifact byte streams (tested
+        in tests/test_cli_fast_path.py / test_real_samples.py)."""
         import jax
 
         from collections import deque
@@ -247,8 +254,11 @@ class DeconRun:
 
         step, tables = build_cli_step(spec, self.index, matcher=matcher)
         self._fallback_aligner = None
-        pad_shapes = jax.default_backend() != "cpu"
-        if pad_shapes and os.environ.get("NANORANGER_AOT", "") == "1":
+        on_accel = jax.default_backend() != "cpu"
+        BUCKETS = sorted({max(256, min(1024, max_len)),
+                          max(256, min(2048, max_len)), max(256, max_len)})
+        step_for = {Lb: step for Lb in BUCKETS}
+        if on_accel and os.environ.get("NANORANGER_AOT", "") == "1":
             # AOT executable cache: deterministic cold start (the jax
             # persistent cache keys are process-unstable for this program
             # — runtime/aot_cache.py). Tables are step ARGUMENTS, so the
@@ -256,14 +266,20 @@ class DeconRun:
             # the same table shapes reuses it. Opt-in (NANORANGER_AOT=1):
             # on standard TPU VMs the ~200MB executable loads in seconds;
             # the CI tunnel backend can hang on large transfers.
-            from .io.encode import PAD as _PAD
             from .runtime.aot_cache import get_or_compile
-            example = (np.full((batch_size, max_len), _PAD, np.int8),
-                       np.zeros(batch_size, np.int32), tables)
-            step = get_or_compile(f"cli_step_{spec.name}", step, example,
-                                  (spec.name,), log=log)
+            for Lb in BUCKETS:
+                example = (np.full((batch_size, Lb), PAD, np.int8),
+                           np.zeros(batch_size, np.int32), tables)
+                step_for[Lb] = get_or_compile(
+                    f"cli_step_{spec.name}_L{Lb}", step, example,
+                    (spec.name, Lb), log=log)
         umi_len = spec.barcode.umi_len if (matcher is not None and
                                            spec.barcode) else 0
+        # per-phase wall accounting (surfaced in runstats as phase_s):
+        # read = fastq stream+encode, step = device wall at device_get,
+        # assemble = host artifact assembly, slow = unfused fallback runs
+        ph = self.phase_s = {"read": 0.0, "step": 0.0, "assemble": 0.0,
+                             "slow": 0.0}
         mbc, mscore, mstatus, mumi = [], [], [], []
         n_reads = n_sub = 0
         fsub = fastq.FastqWriter(self.sub_path)
@@ -279,41 +295,62 @@ class DeconRun:
         buffer: list = []
         buf_defers = 0
 
-        def emit(asm):
-            nonlocal n_reads, n_sub
-            for nm, sq, ql in zip(asm.sub_names, asm.sub_seqs,
-                                  asm.sub_quals):
-                fsub.write(nm, sq, ql)
-            for nm, sq in zip(asm.bcumi_names, asm.bcumi_seqs):
-                fbc.write(nm, sq)
-            self.bcumi_names.extend(asm.bcumi_names)
-            self.bcumi_seqs.extend(asm.bcumi_seqs)
-            self.eds_rows.extend(asm.eds_rows)
-            self.polyA.extend(asm.polyA)
-            for k, v in asm.raw_bc_counts.items():
-                self.raw_counts[k] = self.raw_counts.get(k, 0) + v
-            if matcher is not None:
-                mbc.extend(asm.match_bc)
-                mscore.extend(asm.match_score)
-                mstatus.extend(asm.match_status)
-                mumi.extend(asm.match_umi)
+        # order-restoring emission: reads dispatch per length bucket (out
+        # of input order); chunks[seq] holds one read's assembled
+        # artifacts until the write cursor reaches it, so every artifact
+        # stream stays byte-identical to in-order processing
+        chunks: dict = {}
+        cursor = 0
+
+        def advance():
+            nonlocal cursor, n_sub
+            while cursor in chunks:
+                asm, lo, hi = chunks.pop(cursor)
+                for j in range(lo[0], hi[0]):
+                    fsub.write(asm.sub_names[j], asm.sub_seqs[j],
+                               asm.sub_quals[j])
+                for j in range(lo[1], hi[1]):
+                    fbc.write(asm.bcumi_names[j], asm.bcumi_seqs[j])
+                    self.bcumi_names.append(asm.bcumi_names[j])
+                    self.bcumi_seqs.append(asm.bcumi_seqs[j])
+                    if matcher is not None:
+                        mbc.append(asm.match_bc[j])
+                        mscore.append(asm.match_score[j])
+                        mstatus.append(asm.match_status[j])
+                        mumi.append(asm.match_umi[j])
+                self.eds_rows.extend(asm.eds_rows[lo[2]:hi[2]])
+                self.polyA.extend(asm.polyA[lo[3]:hi[3]])
+                for key in asm.raw_keys[lo[4]:hi[4]]:
+                    self.raw_counts[key] = self.raw_counts.get(key, 0) + 1
+                n_sub += hi[0] - lo[0]
+                cursor += 1
+
+        def emit(asm, seqs):
             self.n_deferred += asm.n_deferred_reads
-            n_sub += len(asm.sub_names)
+            prev = (0, 0, 0, 0, 0)
+            for k, b in enumerate(asm.read_bounds):
+                s = int(seqs[k])
+                if s >= 0:
+                    chunks[s] = (asm, prev, b)
+                prev = b
+            advance()
 
         def flush():
             nonlocal buf_defers
             if not buffer:
                 return
             rows = []                       # (buffer slot, local read idx)
-            for bi, (batch, _n, out) in enumerate(buffer):
+            for bi, (batch, _seqs, _n, out) in enumerate(buffer):
                 for i in np.where(out["defer"])[0]:
                     rows.append((bi, int(i)))
             groups_all: dict = {}
             if rows:
-                Lm = max(buffer[bi][0].codes.shape[1] for bi, _ in rows)
                 from .io.encode import PAD as _PAD
                 n = len(rows)
-                cr = np.full((n, Lm), _PAD, np.int8)
+                # fixed max_len width: deferred rows come from different
+                # buckets, and the fallback programs must hit ONE
+                # prewarmed shape
+                cr = np.full((n, max_len), _PAD, np.int8)
                 lr = np.zeros(n, np.int32)
                 nr, qr = [], []
                 for k, (bi, i) in enumerate(rows):
@@ -323,17 +360,21 @@ class DeconRun:
                     lr[k] = b.lengths[i]
                     nr.append(b.names[i])
                     qr.append(b.quals[i])
+                tslow = time.time()
                 g = self._slow_groups(spec, sample, cr, lr, nr, qr)
+                ph["slow"] += time.time() - tslow
                 for k, (bi, i) in enumerate(rows):
                     groups_all[(bi, i)] = g.get(k, {})
-            for bi, (batch, _n, out) in enumerate(buffer):
+            tasm = time.time()
+            for bi, (batch, seqs, _n, out) in enumerate(buffer):
                 asm = assemble_batch(
                     spec, out, batch.codes, batch.lengths, batch.names,
                     batch.quals, self.index.names, sample,
                     slow_fallback=lambda didx, bi=bi: {
                         int(i): groups_all.get((bi, int(i)), {})
                         for i in didx})
-                emit(asm)
+                emit(asm, seqs)
+            ph["assemble"] += time.time() - tasm
             buffer.clear()
             buf_defers = 0
 
@@ -342,20 +383,25 @@ class DeconRun:
 
         def drain():
             nonlocal n_reads, buf_defers
-            batch, n_real, out_dev = pending.popleft()
+            batch, seqs, n_real, out_dev = pending.popleft()
+            tget = time.time()
             out = jax.device_get(out_dev)
+            ph["step"] += time.time() - tget
             n_reads += n_real
             self._reads_so_far = n_reads
             nd = int(out["defer"].sum())
-            buffer.append((batch, n_real, out))
+            buffer.append((batch, seqs, n_real, out))
             buf_defers += nd
-            if self._t_steady0 is None and nd:
-                # prewarm the unfused fallback programs on this batch's
-                # deferred rows so their one-time compiles land before the
-                # steady-state marker (results discarded; the windowed
-                # flush recomputes them in order)
-                didx = np.where(out["defer"])[0]
-                cr = batch.codes[didx]
+            if self._t_steady0 is None and on_accel:
+                # prewarm the unfused fallback programs UNCONDITIONALLY on
+                # the first batch (the programs are shape-specialized to
+                # pinned buckets, not the data), so their one-time
+                # compiles land before the steady-state marker
+                didx = np.where(out["defer"])[0][:8]
+                if len(didx) == 0:
+                    didx = np.zeros(1, np.int64)
+                cr = np.full((len(didx), max_len), PAD, np.int8)
+                cr[:, :batch.codes.shape[1]] = batch.codes[didx]
                 self._slow_groups(spec, sample, cr,
                                   np.asarray(batch.lengths)[didx],
                                   [batch.names[j] for j in didx],
@@ -369,25 +415,80 @@ class DeconRun:
                 self._t_steady0 = time.time()
                 self._reads_at_steady0 = n_reads
 
-        for batch in fastq.iter_batches(infile, batch_size, max_len=max_len):
-            n_real = len(batch)
-            if pad_shapes and (len(batch) < batch_size or
-                               batch.codes.shape[1] < max_len):
-                codes = np.full((batch_size, max_len), PAD, np.int8)
-                codes[:n_real, :batch.codes.shape[1]] = batch.codes
-                lengths = np.zeros(batch_size, np.int32)
-                lengths[:n_real] = batch.lengths
-                batch = fastq.ReadBatch(
-                    codes, lengths,
-                    batch.names + [""] * (batch_size - n_real),
-                    batch.quals + [b""] * (batch_size - n_real))
-            out_dev = step(batch.codes, batch.lengths, tables)
-            pending.append((batch, n_real, out_dev))
-            if len(pending) > 1:
+        def _new_acc(Lb):
+            return {"codes": np.full((batch_size, Lb), PAD, np.int8),
+                    "lengths": np.zeros(batch_size, np.int32),
+                    "names": [""] * batch_size,
+                    "quals": [b""] * batch_size,
+                    "seq": np.full(batch_size, -1, np.int64), "n": 0}
+
+        acc = {Lb: _new_acc(Lb) for Lb in BUCKETS}
+
+        def dispatch(Lb):
+            a = acc[Lb]
+            if a["n"] == 0:
+                return
+            out_dev = step_for[Lb](a["codes"], a["lengths"], tables)
+            pending.append((fastq.ReadBatch(a["codes"], a["lengths"],
+                                            a["names"], a["quals"]),
+                            a["seq"], a["n"], out_dev))
+            acc[Lb] = _new_acc(Lb)
+            # keep up to 4 batches in flight: the device computes ahead
+            # while the host drains (download + assembly + artifact IO)
+            if len(pending) > 3:
                 drain()
+
+        if on_accel:
+            # prewarm every bucket shape before the stream so no
+            # compile/load stall lands mid-run (each program load costs
+            # seconds over a remote-compile tunnel even on a cache hit)
+            for Lb in BUCKETS:
+                d = step_for[Lb](np.full((batch_size, Lb), PAD, np.int8),
+                                 np.zeros(batch_size, np.int32), tables)
+            jax.block_until_ready(d)
+
+        it = fastq.iter_batches(infile, batch_size, max_len=max_len)
+        in_batches = next_seq = 0
+        while True:
+            tread = time.time()
+            batch = next(it, None)
+            ph["read"] += time.time() - tread
+            if batch is None:
+                break
+            w = batch.codes.shape[1]
+            bl = np.asarray(batch.lengths)
+            for i in range(len(batch)):
+                Lr = min(int(bl[i]), max_len)
+                Lb = next(x for x in BUCKETS if x >= Lr)
+                a = acc[Lb]
+                k = a["n"]
+                w2 = min(w, Lb)
+                a["codes"][k, :w2] = batch.codes[i, :w2]
+                a["lengths"][k] = Lr
+                a["names"][k] = batch.names[i]
+                a["quals"][k] = batch.quals[i]
+                a["seq"][k] = next_seq
+                next_seq += 1
+                a["n"] = k + 1
+                if a["n"] == batch_size:
+                    dispatch(Lb)
+            in_batches += 1
+            if in_batches % FLUSH_BATCHES == 0:
+                # anti-starvation: a rare bucket (long reads are ~1% of
+                # ONT libraries) would otherwise stall the write cursor —
+                # and the reorder buffer — until its batch finally fills
+                for Lb in BUCKETS:
+                    dispatch(Lb)
+        for Lb in BUCKETS:
+            dispatch(Lb)
         while pending:
             drain()
         flush()
+        advance()
+        if chunks:       # every dispatched read must have been emitted
+            raise RuntimeError(
+                f"order-restoring writer stalled at read {cursor} with "
+                f"{len(chunks)} assembled reads pending")
         fsub.close()
         fbc.close()
         if matcher is not None:
@@ -444,10 +545,19 @@ class DeconRun:
         squals = list(quals) + [b""] * (Nb - n)
         ch = self._fallback_aligner._chain(sc, sl)
         rec = extract_records(ch, self.index, sl)
-        extend_records_host(rec, self.index, sc, sl)
+        # pin the record-axis buckets: deferred-read counts vary per flush
+        # window, and without a floor the pow2 buckets land on shapes the
+        # prewarm never compiled (~5 s program-load each over a
+        # remote-compile tunnel, paid mid-steady-state). 4096 records
+        # covers DEFER_CAP reads x ~8 chains; larger counts escalate to
+        # the next pow2 (one extra one-time compile). CPU backends skip
+        # the floor — compiles are cheap there and tests stay fast.
+        import jax as _jax
+        mb = 4096 if _jax.default_backend() != "cpu" else 0
+        extend_records_host(rec, self.index, sc, sl, min_bucket=2 * mb)
         out = run_decon(spec, sc, sl, snames, squals, rec,
                         self.index.names, sample,
-                        dev_codes=ch.get("dev_codes"))
+                        dev_codes=ch.get("dev_codes"), min_bucket=mb)
         groups: dict = {}
 
         def grp(gi):
@@ -915,7 +1025,9 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
     tele.stage("align_decon", time.time() - ts, run.n_reads,
                subreads=run.n_sub, candidates=len(run.bcumi_seqs),
                resumed=run.resumed, deferred_reads=run.n_deferred or None,
-               steady_reads_per_s=getattr(run, "steady_reads_per_s", None))
+               steady_reads_per_s=getattr(run, "steady_reads_per_s", None),
+               phase_s={k: round(v, 2) for k, v in run.phase_s.items()}
+               if getattr(run, "phase_s", None) else None)
 
     if mode == "RTX":
         ts = time.time()
@@ -929,6 +1041,12 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
     if mode == "3p10XGEX":
         _atomic_to_csv(pd.Series(run.raw_counts, name="read_count"),
                        f"{outdir}/{sample}_bc_read_count.csv")
+        # reference artifact name parity: the raw 16-mer counter is
+        # dumped as {sample}_bc_count.json too (utils.py:1403-1404)
+        tmp = f"{outdir}/{sample}_bc_count.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: int(v) for k, v in run.raw_counts.items()}, f)
+        os.replace(tmp, f"{outdir}/{sample}_bc_count.json")
         if barcodes and os.path.isfile(barcodes):
             bcs = whitelist.data_driven(run.raw_counts, barcodes)
         else:

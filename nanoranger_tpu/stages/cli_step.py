@@ -524,7 +524,7 @@ class BatchAssembly:
     __slots__ = ("sub_names", "sub_seqs", "sub_quals", "bcumi_names",
                  "bcumi_seqs", "eds_rows", "raw_bc_counts", "polyA",
                  "match_bc", "match_score", "match_status", "match_umi",
-                 "n_deferred_reads")
+                 "n_deferred_reads", "raw_keys", "read_bounds")
 
     def __init__(self):
         self.sub_names = []
@@ -540,6 +540,13 @@ class BatchAssembly:
         self.match_status = []
         self.match_umi = []
         self.n_deferred_reads = 0
+        # per-read chunking for out-of-order (length-bucketed) dispatch:
+        # raw_keys mirrors raw_bc_counts increments in emission order;
+        # read_bounds[i] = cumulative (n_sub, n_bc, n_eds, n_polyA, n_raw)
+        # after batch row i, so row i's artifacts are the slices between
+        # read_bounds[i-1] and read_bounds[i]
+        self.raw_keys = []
+        self.read_bounds = []
 
 
 def assemble_batch(spec: ChemistrySpec, out: dict, codes, lengths, names,
@@ -639,19 +646,20 @@ def assemble_batch(spec: ChemistrySpec, out: dict, codes, lengths, names,
         res.n_deferred_reads = len(didx)
         slow_by_read = slow_fallback(didx)
 
-    for i in range(B):
+    def _one_read(i):
         if lengths[i] == 0:
-            continue
+            return
         if defer[i]:
             g = slow_by_read.get(i)
             if not g:
-                continue
+                return
             for nm, sq, ql in g["sub"]:
                 res.sub_names.append(nm)
                 res.sub_seqs.append(sq)
                 res.sub_quals.append(ql)
             for key in g["raw"]:
                 res.raw_bc_counts[key] = res.raw_bc_counts.get(key, 0) + 1
+                res.raw_keys.append(key)
             for nm, sq in g["bc"]:
                 res.bcumi_names.append(nm)
                 res.bcumi_seqs.append(sq)
@@ -661,7 +669,7 @@ def assemble_batch(spec: ChemistrySpec, out: dict, codes, lengths, names,
                 res.match_umi.append(None)
             res.eds_rows.extend(g["eds"])
             res.polyA.extend(g["polyA"])
-            continue
+            return
         for s in range(S):
             r = i * S + s
             if not emit[r]:
@@ -683,6 +691,7 @@ def assemble_batch(spec: ChemistrySpec, out: dict, codes, lengths, names,
             if spec.name == "3p10XGEX" and accept_pre[r]:
                 key = bcumi_str(r, i, st)[3:3 + 16]         # utils.py:1376
                 res.raw_bc_counts[key] = res.raw_bc_counts.get(key, 0) + 1
+                res.raw_keys.append(key)
             if accept_bc[r]:
                 s_str = bcumi_str(r, i, st)
                 nm = fmt_name(r, i)
@@ -713,4 +722,10 @@ def assemble_batch(spec: ChemistrySpec, out: dict, codes, lengths, names,
                 res.eds_rows.append(int(ed[r]))
             elif spec.name == "3pXCR_slideseq" and accept_pre[r]:
                 res.eds_rows.append((">" + fmt_name(r, i), int(ed[r])))
+
+    for i in range(B):
+        _one_read(i)
+        res.read_bounds.append((len(res.sub_names), len(res.bcumi_names),
+                                len(res.eds_rows), len(res.polyA),
+                                len(res.raw_keys)))
     return res

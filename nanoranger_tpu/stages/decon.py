@@ -144,7 +144,7 @@ def _anchor_code(name: str) -> int:
 def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
               names: list, quals: list, rec: AlignmentRecords,
               ref_names: list, sample: str = "sample",
-              dev_codes=None) -> DeconResult:
+              dev_codes=None, min_bucket: int = 0) -> DeconResult:
     """Run decon for one read batch + its alignment records.
 
     dev_codes: optional device-resident copy of `codes` (from the aligner
@@ -171,7 +171,8 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
         # exact-R shape would recompile _scan_flanks every batch (~1.3s on
         # a remote-compile backend). Pad rows scan read 0's empty window
         # (qstart=qend=0 → wlen may be >0 but results are sliced off).
-        Rb = 256
+        # min_bucket pins the bucket (fallback prewarm — see pipeline)
+        Rb = max(256, min_bucket)
         while Rb < R:
             Rb *= 2
         pad = Rb - R
