@@ -82,7 +82,7 @@ def seed_and_chain(codes, lengths, prefix_start, prefix_count, planes,
     """
     from ..ops.mxu_lookup import windowed_lookup
     B, L = codes.shape
-    hq, qpos, qstrand, _ = sketch_batch(codes, lengths, max_minimizers)
+    hq, qpos, qstrand, n_mini = sketch_batch(codes, lengths, max_minimizers)
     M = hq.shape[1]
 
     p = (hq >> jnp.uint32(HASH_BITS - PREFIX_BITS)).astype(jnp.int32)
@@ -112,6 +112,19 @@ def seed_and_chain(codes, lengths, prefix_start, prefix_count, planes,
     t = jnp.where(ok, t_idx, 0).reshape(B, A_raw)
     q = jnp.where(ok, q_chain, 0).reshape(B, A_raw)
     A = min(A_raw, 4 * max_minimizers)
+
+    # capacity-overflow flag: a read whose anchors exceed the A slots (or
+    # whose minimizers hit the sketch cap) would get a TRUNCATED anchor
+    # set — and the truncation keeps the lexicographically-smallest segs,
+    # so results would depend on the padded width L the read was batched
+    # at (round-4 regression: one MT read lost its high-seg rc chain in
+    # the 2048 bucket but kept it at 4096). Callers must reroute flagged
+    # reads to a canonical full-width recompute (the fused CLI step defers
+    # them to the unfused fallback at max_len).
+    n_anchor = jnp.sum(ok, axis=(1, 2)).astype(jnp.int32)
+    overflow = n_anchor > A
+    if M == max_minimizers:
+        overflow = overflow | (n_mini >= M)
 
     # lexicographic (seg, t, q) sort — TPU sorts are fast; applying a
     # permutation via take_along_axis is a slow gather, so never
@@ -149,7 +162,8 @@ def seed_and_chain(codes, lengths, prefix_start, prefix_count, planes,
 
     f, parent, root = chain_dp(t, q, seg, valid, max_intron=max_intron)
     return {"t": t, "q": q, "qpos": qp_flat, "seg": seg, "strand": strand,
-            "valid": valid, "f": f, "parent": parent, "root": root}
+            "valid": valid, "f": f, "parent": parent, "root": root,
+            "overflow": overflow}
 
 
 def chain_dp(t, q, seg, valid, max_gap=MAX_GAP, bandwidth=BANDWIDTH,

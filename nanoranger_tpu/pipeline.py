@@ -258,14 +258,16 @@ class DeconRun:
         BUCKETS = sorted({max(256, min(1024, max_len)),
                           max(256, min(2048, max_len)), max(256, max_len)})
         step_for = {Lb: step for Lb in BUCKETS}
-        if on_accel and os.environ.get("NANORANGER_AOT", "") == "1":
+        if on_accel and os.environ.get("NANORANGER_AOT", "") != "0":
             # AOT executable cache: deterministic cold start (the jax
             # persistent cache keys are process-unstable for this program
             # — runtime/aot_cache.py). Tables are step ARGUMENTS, so the
             # executable is content-independent: any panel/whitelist with
-            # the same table shapes reuses it. Opt-in (NANORANGER_AOT=1):
-            # on standard TPU VMs the ~200MB executable loads in seconds;
-            # the CI tunnel backend can hang on large transfers.
+            # the same table shapes reuses it. Default ON for
+            # accelerators (VERDICT r3 #5); loads run under a watchdog
+            # deadline with jit fallback because tunnel backends have
+            # hung on multi-hundred-MB transfers. NANORANGER_AOT=0
+            # disables.
             from .runtime.aot_cache import get_or_compile
             for Lb in BUCKETS:
                 example = (np.full((batch_size, Lb), PAD, np.int8),
@@ -273,8 +275,8 @@ class DeconRun:
                 step_for[Lb] = get_or_compile(
                     f"cli_step_{spec.name}_L{Lb}", step, example,
                     (spec.name, Lb), log=log)
-        umi_len = spec.barcode.umi_len if (matcher is not None and
-                                           spec.barcode) else 0
+        do_match = matcher is not None and spec.barcode is not None
+        umi_len = spec.barcode.umi_len if do_match else 0
         # per-phase wall accounting (surfaced in runstats as phase_s):
         # read = fastq stream+encode, step = device wall at device_get,
         # assemble = host artifact assembly, slow = unfused fallback runs
@@ -313,7 +315,10 @@ class DeconRun:
                     fbc.write(asm.bcumi_names[j], asm.bcumi_seqs[j])
                     self.bcumi_names.append(asm.bcumi_names[j])
                     self.bcumi_seqs.append(asm.bcumi_seqs[j])
-                    if matcher is not None:
+                    # gate on the SAME condition assemble_batch uses to
+                    # populate match_* (matcher AND spec.barcode) — a
+                    # matcher without a barcode spec must not IndexError
+                    if do_match:
                         mbc.append(asm.match_bc[j])
                         mscore.append(asm.match_score[j])
                         mstatus.append(asm.match_status[j])
@@ -361,7 +366,18 @@ class DeconRun:
                     nr.append(b.names[i])
                     qr.append(b.quals[i])
                 tslow = time.time()
-                g = self._slow_groups(spec, sample, cr, lr, nr, qr)
+                # chunk to <=DEFER_CAP rows: one drained batch can add up
+                # to batch_size deferred reads, and an unchunked call
+                # would pad to a 1024+ row shape the prewarm never
+                # compiled (~5 s program load mid-steady-state)
+                g: dict = {}
+                for base in range(0, n, DEFER_CAP):
+                    e = min(base + DEFER_CAP, n)
+                    gi = self._slow_groups(spec, sample, cr[base:e],
+                                           lr[base:e], nr[base:e],
+                                           qr[base:e])
+                    for k, v in gi.items():
+                        g[base + k] = v
                 ph["slow"] += time.time() - tslow
                 for k, (bi, i) in enumerate(rows):
                     groups_all[(bi, i)] = g.get(k, {})
@@ -703,6 +719,19 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
                                         np.int32)}
             log(f"resume: {len(df)} barcode assignments loaded from "
                 f"{os.path.basename(apath)}")
+            spath = f"{outdir}/{sample}_barcode_scores.csv"
+            if not os.path.isfile(spath):
+                # shard-merged outdirs carry the assignment checkpoint but
+                # not the score histogram (tools/merge_shards.py) —
+                # rebuild it from the loaded table
+                status = res["status"]
+                vis = ((status == ACCEPT) | (status == LOW_AS) |
+                       (status == BAD_UMI))
+                sdf = counting.barcode_scores_table(res["score"][vis])
+                sdf.columns = ["score", "count"]
+                sdf.to_csv(spath, index=None)
+                counting.save_score_plot(
+                    f"{outdir}/{sample}_barcode_scores.pdf", sdf, 8)
             return df, res
     t0 = time.time()
     m = matcher or BarcodeMatcher(bcs_array, spec.barcode)
@@ -925,13 +954,20 @@ def _load_whitelist(path, spec_name):
 
 def _tag_map_from_df(df):
     """name → (CB, UB, XT) for accepted reads; XT parsed from the decon
-    read name (trns = name.split('_')[4], utils.py:745)."""
+    read name {qname}_{qstrt}_{qend}_{flag}_{trans}.
+
+    Deliberate fix of a reference defect (SURVEY §7): the reference takes
+    `name.split('_')[4]` (utils.py:745), which truncates transcript names
+    containing '_' — the bundled panels DO contain such names
+    (e.g. `RUNX1T1-204|ENST00000422361.6_2450`), so its XT tags and
+    _trns_ct silently lose the tail. The transcript is the LAST field, so
+    joining parts[4:] recovers it exactly."""
     out = {}
     for name, bc, umi, status in zip(df.name, df.bc, df.umi, df.status):
         if status != ACCEPT:
             continue
         parts = name.split("_")
-        trns = parts[4] if len(parts) > 4 else ""
+        trns = "_".join(parts[4:]) if len(parts) > 4 else ""
         out[name] = (bc, umi, trns)
     return out
 

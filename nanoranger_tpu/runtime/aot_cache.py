@@ -98,17 +98,38 @@ def get_or_compile(name: str, jitted, example_args, extra_parts=(),
     key = cache_key(name, example_args, extra_parts)
     path = os.path.join(cache_dir, key + ".bin")
     if os.path.isfile(path):
-        try:
-            with open(path, "rb") as f:
-                blob, in_tree, out_tree = pickle.load(f)
-            compiled = se.deserialize_and_load(blob, in_tree, out_tree)
+        # watchdog: deserialization moves a multi-hundred-MB executable
+        # through the backend transport, which has been observed to hang
+        # on tunnel backends. Run it on a daemon thread with a deadline;
+        # on timeout fall back to the plain jit path (the stuck thread
+        # never joins — daemon=True lets the process exit regardless).
+        import threading
+        deadline = float(os.environ.get("NANORANGER_AOT_TIMEOUT", "180"))
+        box: dict = {}
+
+        def _load():
+            try:
+                with open(path, "rb") as f:
+                    blob, in_tree, out_tree = pickle.load(f)
+                box["ok"] = se.deserialize_and_load(blob, in_tree, out_tree)
+            except Exception as e:          # stale/incompatible blob
+                box["err"] = e
+
+        th = threading.Thread(target=_load, daemon=True)
+        th.start()
+        th.join(deadline)
+        if "ok" in box:
             if log:
                 log(f"aot: loaded {name} executable "
                     f"({os.path.getsize(path) >> 20} MB)")
-            return compiled
-        except Exception as e:              # stale/incompatible blob
+            return box["ok"]
+        if th.is_alive():
             if log:
-                log(f"aot: load failed ({e!r}); recompiling")
+                log(f"aot: load exceeded {deadline:.0f}s deadline; "
+                    "using jit path (set NANORANGER_AOT=0 to skip aot)")
+            return jitted
+        if log:
+            log(f"aot: load failed ({box.get('err')!r}); recompiling")
     try:
         compiled = jitted.lower(*example_args).compile()
         payload = se.serialize(compiled)

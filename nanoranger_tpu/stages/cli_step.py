@@ -170,10 +170,16 @@ def _records_exact(chain_out, lengths, ref_lens, S: int):
          slots["score"], kept.astype(jnp.int32)),
         dimension=1, num_keys=1, is_stable=True)
 
+    # defer: more kept chains than slots, or anchor-capacity overflow in
+    # the seed stage (truncated anchors would make the result depend on
+    # the length bucket; the caller recomputes at canonical full width)
+    defer = n_chains > S
+    if "overflow" in chain_out:
+        defer = defer | chain_out["overflow"]
     return {"ok": ok_i.astype(bool), "flag": flag, "strand": strand,
             "qstart": qstart, "qend": qend, "tstart": tstart, "tend": tend,
             "ref_id": ref_id, "score": score,
-            "n_chains": n_chains, "defer": n_chains > S}
+            "n_chains": n_chains, "defer": defer}
 
 
 # ---------------------------------------------------------------------------

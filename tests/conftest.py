@@ -21,10 +21,28 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
+def _seeded_rng(key: str):
+    import zlib
+
     import numpy as np
-    return np.random.default_rng(0)
+    return np.random.default_rng(zlib.crc32(key.encode()))
+
+
+@pytest.fixture()
+def rng(request):
+    """Per-test RNG seeded from the test's node id: every test sees the
+    same stream whether it runs alone, in its file, or in the full suite
+    (a session-scoped shared stream made outcomes order-dependent —
+    VERDICT r3 weak #4)."""
+    return _seeded_rng(request.node.nodeid)
+
+
+@pytest.fixture(scope="module")
+def module_rng(request):
+    """Module-scoped variant for shared fixtures (synthetic corpora built
+    once per file) — seeded from the module path, so the corpus is the
+    same whether the file runs alone or in the suite."""
+    return _seeded_rng(request.module.__name__)
 
 
 @pytest.fixture(scope="session", autouse=True)

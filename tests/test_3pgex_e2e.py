@@ -18,10 +18,10 @@ from nanoranger_tpu.stages.decon import run_decon
 
 
 @pytest.fixture(scope="module")
-def setup(rng):
-    seqs = [rng.integers(0, 4, size=n).astype(np.int8) for n in (900, 700)]
+def setup(module_rng):
+    seqs = [module_rng.integers(0, 4, size=n).astype(np.int8) for n in (900, 700)]
     index = PanelIndex.build(["GENEA", "GENEB"], seqs)
-    bcs = ["".join(rng.choice(list("ACGT"), 16)) for _ in range(4)]
+    bcs = ["".join(module_rng.choice(list("ACGT"), 16)) for _ in range(4)]
     return index, seqs, bcs
 
 

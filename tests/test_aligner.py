@@ -21,8 +21,8 @@ def _batch(seqs, L=None):
 
 
 @pytest.fixture(scope="module")
-def panel(rng):
-    seqs = [rng.integers(0, 4, size=n).astype(np.int8)
+def panel(module_rng):
+    seqs = [module_rng.integers(0, 4, size=n).astype(np.int8)
             for n in (800, 1200, 600)]
     return PanelIndex.build(["refA", "refB", "refC"], seqs), seqs
 

@@ -14,14 +14,14 @@ from nanoranger_tpu.pipeline import run_pipeline
 
 
 @pytest.fixture(scope="module")
-def synthetic_sample(rng, tmp_path_factory):
+def synthetic_sample(module_rng, tmp_path_factory):
     d = tmp_path_factory.mktemp("dp")
-    refs = [rng.integers(0, 4, size=n).astype(np.int8) for n in (900, 700)]
+    refs = [module_rng.integers(0, 4, size=n).astype(np.int8) for n in (900, 700)]
     trns = d / "panel.fa"
     with open(trns, "w") as f:
         for i, r in enumerate(refs):
             f.write(f">G{i}\n{decode(r)}\n")
-    bcs = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(64)})
+    bcs = sorted({"".join(module_rng.choice(list("ACGT"), 16)) for _ in range(64)})
     wl = d / "wl.txt.gz"
     with gzip.open(wl, "wt") as f:
         f.write("\n".join(bcs) + "\n")
@@ -29,8 +29,8 @@ def synthetic_sample(rng, tmp_path_factory):
     with gzip.open(fq, "wt") as f:
         for i in range(333):        # odd count: exercises partial batches
             bc = bcs[i % len(bcs)]
-            umi = "".join(rng.choice(list("ACGT"), 10))
-            pre = "".join(rng.choice(list("ACGT"), 25))
+            umi = "".join(module_rng.choice(list("ACGT"), 10))
+            pre = "".join(module_rng.choice(list("ACGT"), 25))
             gene = decode(refs[i % 2][40:640])
             r = pre + "CGCTCTTCCGATCT" + bc + umi + "TTTCTTATATG" + gene
             f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")

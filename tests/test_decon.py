@@ -15,8 +15,8 @@ TSO = "TTTCTTATATG"
 
 
 @pytest.fixture(scope="module")
-def panel(rng):
-    seqs = [rng.integers(0, 4, size=n).astype(np.int8) for n in (900, 700)]
+def panel(module_rng):
+    seqs = [module_rng.integers(0, 4, size=n).astype(np.int8) for n in (900, 700)]
     return PanelIndex.build(["GENE1", "GENE2"], seqs), seqs
 
 

@@ -1,0 +1,42 @@
+"""Full barcode-assignment parity vs the exhaustive arbiter (VERDICT r3
+next-step #2): every BC-UMI candidate of TCR3 + 1026_mtDNA scored
+against the full 737K whitelist. tools/match_parity.py writes the
+report; this test pins its guarantees:
+
+  - every candidate arbitrated (n_candidates > 0, nothing sampled)
+  - zero UNEXPLAINED divergences
+  - >= 99.9% exact agreement (engine == exhaustive arbiter); the
+    remainder must be in the documented screened-recall classes
+    (top-k screen missing a noise-floor alignment that only flips a
+    rejection direction, never the accepted barcode)
+"""
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PATH = os.path.join(REPO, "tests", "goldens", "match_parity.json")
+
+
+@pytest.mark.skipif(not os.path.isfile(PATH),
+                    reason="run tools/match_parity.py first")
+def test_full_match_parity():
+    with open(PATH) as f:
+        rep = json.load(f)
+    assert rep["whitelist"] == "737K-august-2016"
+    assert set(rep["samples"]) >= {"TCR3", "1026_mtDNA_ASXL1_NRAS_SF3B1"}
+    for name, s in rep["samples"].items():
+        assert s["n_candidates"] > 500, name
+        assert s["n_whitelist"] == 737280
+        assert s["classes"].get("UNEXPLAINED", 0) == 0, \
+            (name, s["divergences"][:3])
+        assert s["agreement"] >= 0.999, (name, s["classes"])
+        # accepted-barcode flips are never allowed: each divergence must
+        # be a rejection-direction change, not a different barcode
+        for d in s["divergences"]:
+            e_bc, _, e_status, _ = d["engine"]
+            a_bc, _, a_status, _ = d["arbiter"]
+            if e_status == 0 and a_status == 0:
+                assert e_bc == a_bc, d

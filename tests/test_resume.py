@@ -14,20 +14,20 @@ from nanoranger_tpu.pipeline import run_pipeline
 
 
 @pytest.fixture(scope="module")
-def workdir(tmp_path_factory, rng):
+def workdir(tmp_path_factory, module_rng):
     d = tmp_path_factory.mktemp("resume")
-    refs = [rng.integers(0, 4, size=n).astype(np.int8) for n in (900, 700)]
+    refs = [module_rng.integers(0, 4, size=n).astype(np.int8) for n in (900, 700)]
     with open(d / "panel.fa", "w") as f:
         for i, r in enumerate(refs):
             f.write(f">G{i}\n{decode(r)}\n")
-    wl = sorted({"".join(rng.choice(list("ACGT"), 16)) for _ in range(40)})
+    wl = sorted({"".join(module_rng.choice(list("ACGT"), 16)) for _ in range(40)})
     with open(d / "wl.txt", "w") as f:
         f.write("\n".join(wl) + "\n")
     with FastqWriter(str(d / "reads.fastq.gz")) as w:
         for i in range(40):
             bc = wl[i % len(wl)]
-            umi = "".join(rng.choice(list("ACGT"), 10))
-            pre = "".join(rng.choice(list("ACGT"), 25))
+            umi = "".join(module_rng.choice(list("ACGT"), 10))
+            pre = "".join(module_rng.choice(list("ACGT"), 25))
             seq = (pre + "CGCTCTTCCGATCT" + bc + umi + "TTTCTTATATG"
                    + decode(refs[i % 2][50:500]))
             w.write(f"r{i}", seq, "I" * len(seq))

@@ -25,8 +25,8 @@ LINKER = "TCTTCAGCGTTCCCGAGA"
 
 
 @pytest.fixture(scope="module")
-def cpanel(rng):
-    seqs = [rng.integers(0, 4, size=900).astype(np.int8)]
+def cpanel(module_rng):
+    seqs = [module_rng.integers(0, 4, size=900).astype(np.int8)]
     return PanelIndex.build(["CGENE"], seqs), seqs
 
 
@@ -141,3 +141,21 @@ def test_match_resume_fingerprint(tmp_path, rng):
     # different whitelist → fingerprint mismatch → recomputed checkpoint
     match_barcodes(spec, wl_b, names, seqs, d, "s")
     assert os.path.getmtime(tmp_path / "s_assignments.csv.gz") > m1
+
+
+def test_tag_map_keeps_full_transcript_name():
+    """XT parsing must not truncate transcript names containing '_'
+    (deliberate fix of the reference's name.split('_')[4] defect,
+    utils.py:745 — bundled panels have names like
+    RUNX1T1-204|ENST00000422361.6_2450)."""
+    import pandas as pd
+
+    from nanoranger_tpu.pipeline import _tag_map_from_df
+    from nanoranger_tpu.stages.barcode import ACCEPT
+    name = "abc_10_200_0_RUNX1T1-204|ENST00000422361.6_2450"
+    df = pd.DataFrame({"name": [name, "zzz_1_2_0_G"],
+                       "bc": ["A" * 16] * 2, "umi": ["C" * 10] * 2,
+                       "status": [ACCEPT, 99]})
+    tag = _tag_map_from_df(df)
+    assert tag[name][2] == "RUNX1T1-204|ENST00000422361.6_2450"
+    assert "zzz_1_2_0_G" not in tag            # non-accept rows excluded

@@ -35,10 +35,10 @@ def test_chunked_sketch_bit_identical(rng):
 
 
 @pytest.fixture(scope="module")
-def big_genome(rng):
+def big_genome(module_rng):
     """~12 Mb single-reference genome with a known 3-exon gene."""
     n = 12_000_000
-    genome = rng.integers(0, 4, size=n).astype(np.int8)
+    genome = module_rng.integers(0, 4, size=n).astype(np.int8)
     gene_start = 7_000_000
     exon_lens = [400, 350, 500]
     intron_lens = [3_000, 12_000]

@@ -1,0 +1,335 @@
+"""FULL barcode-assignment parity vs an exhaustive arbiter (VERDICT r3
+next-step #2).
+
+Scores EVERY BC-UMI candidate of TCR3 (5p10XTCR) and 1026_mtDNA
+(5p10XGEX) against the FULL 737,280-barcode whitelist with an exhaustive
+arbiter, and diffs the engine's screened matcher (product screen + exact
+DP + rc pass — the replacement for STAR EndToEnd,
+reference scripts/barcode_align.sh:14-41, utils.py:699-716) against it.
+
+Arbiter construction (sound, not sampled):
+  - The end-to-end score of a candidate vs a padded whitelist row is at
+    most bc_len (=16): only the 16 barcode-core columns can score (+1
+    match), N-pad columns are free, and every indel/mismatch costs. A
+    score-16 alignment therefore requires the candidate to contain the
+    barcode as an EXACT contiguous 16-mer. So exact hash lookup of every
+    16-mer window (forward and revcomp) resolves perfect hits exactly:
+    number of distinct score-16 barcodes (ties ⇒ multimap,
+    outFilterMultimapScoreRange 0) and the rc tie/beat decision.
+  - Candidates with NO exact forward hit are scored by full DP
+    (ops.sw.sw_end2end_xla — the same scorer the device kernels are
+    validated against in tests/test_sw.py) over ALL whitelist rows,
+    forward and reverse, in chunks.
+
+Engine-vs-arbiter divergences are classified, never hidden:
+  - fwd_screen_recall: the engine's top-k screen missed the true best
+    forward alignment (engine best score < arbiter best score).
+  - rc_screen_recall: the screened rc pass missed the true rc best and
+    the acceptance decision flipped (arbiter rc >= fwd where engine's
+    screened rc < fwd, or vice-versa direction is impossible).
+  - UNEXPLAINED: anything else (fails the report).
+
+Usage: JAX_PLATFORMS=cpu python tools/match_parity.py
+         [--samples TCR3,1026_mtDNA_ASXL1_NRAS_SF3B1] [--n-reads 1200]
+Writes tests/goldens/match_parity.json (asserted by
+tests/test_match_parity.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DATA = os.path.join(REPO, "data")
+
+SAMPLES = {
+    "TCR3": ("5p10XTCR", "TR_V_human.fa"),
+    "1026_mtDNA_ASXL1_NRAS_SF3B1": ("5p10XGEX", "panel_MT_trns.fa"),
+}
+
+ACCEPT, LOW_AS, MULTIMAP, NO_CAND, BAD_UMI, RC_BEST = 0, 1, 2, 3, 4, 6
+_RC = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def revcomp(s: str) -> str:
+    return "".join(_RC.get(c, "N") for c in reversed(s))
+
+
+def candidates_for(sample, mode, trns, n_reads):
+    """BC-UMI candidates from a decon-only pipeline run."""
+    from nanoranger_tpu.io.fasta import iter_fasta
+    from nanoranger_tpu.pipeline import run_pipeline
+    from tools.gen_real_goldens import write_prefix
+    outdir = tempfile.mkdtemp(prefix=f"mp_{sample}_")
+    src = os.path.join(DATA, "samples", sample + ".fastq.gz")
+    infile = os.path.join(outdir, "in.fastq.gz")
+    write_prefix(src, infile, n_reads)
+    # decon only: nonexistent whitelist/genome stop the run after the
+    # decon artifacts are written (clean SystemExit)
+    try:
+        run_pipeline(mode, infile, outdir, "t",
+                     trns_ref=os.path.join(DATA, trns),
+                     genome_ref="/nonexistent", barcodes="/nonexistent",
+                     batch_size=1024)
+    except SystemExit:
+        pass                       # whitelist-missing exit is fine
+    names, seqs = [], []
+    for nm, sq in iter_fasta(f"{outdir}/t_BCUMI.fasta.gz"):
+        names.append(nm)
+        seqs.append(sq)
+    return names, seqs
+
+
+def engine_results(seqs, spec, full_wl, batch=2048, Lq=96):
+    from nanoranger_tpu.io.encode import encode_batch
+    from nanoranger_tpu.stages.barcode import BarcodeMatcher
+    m = BarcodeMatcher(full_wl, spec.barcode)
+    res = {k: [] for k in ("bc_idx", "score", "status", "umi")}
+    for s in range(0, len(seqs), batch):
+        q, qlen = encode_batch(seqs[s:s + batch], max_len=Lq)
+        n = q.shape[0]
+        if n < batch:
+            q = np.pad(q, ((0, batch - n), (0, 0)))
+            qlen = np.pad(qlen, (0, batch - n))
+        r = m.match(q, qlen)
+        for k in res:
+            res[k].append(r[k][:n])
+    return {k: np.concatenate(v) for k, v in res.items()}, m
+
+
+def exact_hits(seqs, wl_index: dict, b):
+    """Per candidate: (forward exact ref-idx set, rc exact ref-idx set,
+    smallest forward occurrence start per ref).
+
+    A score-16 alignment needs the exact 16-mer AND enough N-pad columns
+    to absorb the flanking query chars for free: occurrence start i must
+    satisfy i <= pad_left and len-(i+16) <= pad_right (extra chars would
+    be -1 insertions). The rc row's pads are mirrored."""
+    bc_len = b.bc_len
+    fwd, rc, fpos = [], [], []
+    for s in seqs:
+        F, R = set(), set()
+        first = {}
+        for i in range(0, len(s) - bc_len + 1):
+            tail = len(s) - (i + bc_len)
+            w = s[i:i + bc_len]
+            if i <= b.pad_left and tail <= b.pad_right:
+                j = wl_index.get(w)
+                if j is not None:
+                    F.add(j)
+                    first.setdefault(j, i)
+            if i <= b.pad_right and tail <= b.pad_left:
+                jr = wl_index.get(revcomp(w))
+                if jr is not None:
+                    R.add(jr)
+        fwd.append(F)
+        rc.append(R)
+        fpos.append(first)
+    return fwd, rc, fpos
+
+
+def dp_best(seqs_sub, refs_np, umi_ref_offset, ref_chunk=8192,
+            cand_chunk=24, log=print):
+    """Exhaustive DP of each candidate vs ALL refs.
+
+    Returns per candidate: (best_score, best_idx(smallest), n_best_refs,
+    qpos_of_best, uvalid_of_best)."""
+    import jax.numpy as jnp
+
+    from nanoranger_tpu.io.encode import encode_batch
+    from nanoranger_tpu.ops.sw import sw_end2end_xla
+    n = len(seqs_sub)
+    R, Lr = refs_np.shape
+    best = np.full(n, -10**9, np.int64)
+    bidx = np.full(n, -1, np.int64)
+    nbest = np.zeros(n, np.int64)
+    qpos = np.full(n, -1, np.int64)
+    uval = np.zeros(n, bool)
+    q_all, qlen_all = encode_batch(seqs_sub, max_len=96)
+    t0 = time.time()
+    for cs in range(0, n, cand_chunk):
+        ce = min(cs + cand_chunk, n)
+        C = ce - cs
+        for rs in range(0, R, ref_chunk):
+            re_ = min(rs + ref_chunk, R)
+            Rc = re_ - rs
+            q = np.repeat(q_all[cs:ce], Rc, axis=0)
+            ql = np.repeat(qlen_all[cs:ce], Rc)
+            rf = np.tile(refs_np[rs:re_], (C, 1))
+            rl = np.full(C * Rc, Lr, np.int32)
+            sc, qp, uv = sw_end2end_xla(jnp.asarray(q), jnp.asarray(ql),
+                                        jnp.asarray(rf), jnp.asarray(rl),
+                                        umi_ref_offset)
+            sc = np.asarray(sc).reshape(C, Rc)
+            qp = np.asarray(qp).reshape(C, Rc)
+            uv = np.asarray(uv).reshape(C, Rc)
+            for k in range(C):
+                g = cs + k
+                mx = int(sc[k].max())
+                cnt = int((sc[k] == mx).sum())
+                arg = rs + int(np.argmax(sc[k]))
+                if mx > best[g]:
+                    best[g], bidx[g], nbest[g] = mx, arg, cnt
+                    qpos[g] = int(qp[k][arg - rs])
+                    uval[g] = bool(uv[k][arg - rs])
+                elif mx == best[g]:
+                    nbest[g] += cnt
+        log(f"  dp {ce}/{n} candidates ({time.time() - t0:.0f}s)")
+    return best, bidx, nbest, qpos, uval
+
+
+def arbiter(seqs, spec, full_wl, refs_np, rc_refs_np, log=print):
+    """Exhaustive verdict per candidate: (status, bc_idx, score, umi)."""
+    b = spec.barcode
+    bc_len = b.bc_len
+    wl_index = {s: i for i, s in enumerate(full_wl)}
+    F, Rh, fpos = exact_hits(seqs, wl_index, b)
+    n = len(seqs)
+    status = np.full(n, NO_CAND, np.int64)
+    bc_idx = np.full(n, -1, np.int64)
+    score = np.full(n, -10**9, np.int64)
+    umi = [""] * n
+
+    need_dp = []
+    for j, s in enumerate(seqs):
+        if F[j]:
+            score[j] = bc_len
+            if len(F[j]) > 1 or Rh[j]:
+                # several score-16 barcodes, or an equal rc hit: two best
+                # alignments -> outFilterMultimapNmax 1 drop
+                status[j] = MULTIMAP
+                continue
+            ref = next(iter(F[j]))
+            qp = fpos[j][ref] + bc_len      # smallest-qpos optimal path
+            if qp + b.umi_len <= len(s):
+                status[j] = ACCEPT
+                bc_idx[j] = ref
+                umi[j] = s[qp:qp + b.umi_len]
+            else:
+                status[j] = BAD_UMI
+                bc_idx[j] = ref
+        elif Rh[j]:
+            # rc perfect (16) necessarily beats any fwd (<16 here)
+            score[j] = bc_len - 1  # fwd best unknown; only status matters
+            status[j] = RC_BEST
+        else:
+            need_dp.append(j)
+
+    if need_dp:
+        log(f"  exhaustive DP for {len(need_dp)}/{n} candidates "
+            f"(no exact forward/rc 16-mer)")
+        seqs_sub = [seqs[j] for j in need_dp]
+        fb, fi, fn, fq, fu = dp_best(seqs_sub, refs_np, b.umi_ref_offset,
+                                     log=log)
+        # rc best score only (vs revcomp'd rows; c_rc column)
+        c_rc = b.pad_right + bc_len
+        rb, _, rn, _, _ = dp_best(seqs_sub, rc_refs_np, c_rc, log=log)
+        for k, j in enumerate(need_dp):
+            s = seqs[j]
+            score[j] = int(fb[k])
+            if rb[k] > fb[k]:
+                status[j] = RC_BEST
+            elif rb[k] == fb[k]:
+                status[j] = MULTIMAP
+            elif fn[k] > 1:
+                status[j] = MULTIMAP
+            elif fb[k] < b.as_min:
+                status[j] = LOW_AS
+            else:
+                qp = int(fq[k])
+                if fu[k] and qp >= 0 and qp + b.umi_len <= len(s):
+                    status[j] = ACCEPT
+                    bc_idx[j] = int(fi[k])
+                    umi[j] = s[qp:qp + b.umi_len]
+                else:
+                    status[j] = BAD_UMI
+                    bc_idx[j] = int(fi[k])
+    return status, bc_idx, score, umi, len(need_dp)
+
+
+def classify(e_status, e_bc, e_score, e_umi, a_status, a_bc, a_score,
+             a_umi):
+    if (e_status == a_status and
+            (e_status != ACCEPT or (e_bc == a_bc and e_umi == a_umi))):
+        return "ok"
+    if (a_status in (RC_BEST, MULTIMAP)) and e_status in (ACCEPT, LOW_AS,
+                                                          BAD_UMI):
+        # exhaustive rc/tie beats what the screened pass saw
+        return "rc_screen_recall"
+    if a_score > e_score:
+        return "fwd_screen_recall"
+    return "UNEXPLAINED"
+
+
+def run_sample(sample, n_reads, log=print):
+    from nanoranger_tpu import chemistry
+    from nanoranger_tpu.io import whitelist as wl
+    from nanoranger_tpu.io.encode import COMPLEMENT, decode
+
+    mode, trns = SAMPLES[sample]
+    spec = chemistry.get(mode)
+    log(f"[match-parity] {sample} ({mode}): extracting candidates")
+    names, seqs = candidates_for(sample, mode, trns, n_reads)
+    log(f"  {len(seqs)} candidates")
+    full = wl.load(os.path.join(DATA, "737K-august-2016.txt.gz"))
+    eng, m = engine_results(seqs, spec, full)
+    refs_np, _ = wl.padded_refs(full, spec.barcode)
+    rc_refs_np = COMPLEMENT[refs_np][:, ::-1]
+    a_status, a_bc, a_score, a_umi, n_dp = arbiter(
+        seqs, spec, full, refs_np, rc_refs_np, log=log)
+
+    classes: dict = {}
+    rows = []
+    for j in range(len(seqs)):
+        e_umi = decode(eng["umi"][j]) if eng["status"][j] == ACCEPT else ""
+        c = classify(int(eng["status"][j]), int(eng["bc_idx"][j]),
+                     int(eng["score"][j]), e_umi,
+                     int(a_status[j]), int(a_bc[j]), int(a_score[j]),
+                     a_umi[j])
+        classes[c] = classes.get(c, 0) + 1
+        if c != "ok" and len(rows) < 50:
+            rows.append({"name": names[j], "cand": seqs[j], "class": c,
+                         "engine": [int(eng["bc_idx"][j]),
+                                    int(eng["score"][j]),
+                                    int(eng["status"][j]), e_umi],
+                         "arbiter": [int(a_bc[j]), int(a_score[j]),
+                                     int(a_status[j]), a_umi[j]]})
+    n = len(seqs)
+    agree = classes.get("ok", 0)
+    return {"mode": mode, "n_candidates": n, "n_whitelist": int(len(full)),
+            "n_dp_arbitrated": n_dp, "agree": agree,
+            "agreement": round(agree / n, 6) if n else 1.0,
+            "classes": classes, "divergences": rows}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", default=",".join(SAMPLES))
+    ap.add_argument("--n-reads", type=int, default=1200)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "tests", "goldens", "match_parity.json"))
+    a = ap.parse_args()
+    report = {"n_reads": a.n_reads, "whitelist": "737K-august-2016",
+              "samples": {}}
+    for sample in a.samples.split(","):
+        rep = run_sample(sample, a.n_reads)
+        report["samples"][sample] = rep
+        print(f"  {sample}: {rep['agree']}/{rep['n_candidates']} agree "
+              f"({rep['classes']})", flush=True)
+        with open(a.out, "w") as f:      # checkpoint after each sample
+            json.dump(report, f, indent=1)
+    print("wrote", a.out)
+
+
+if __name__ == "__main__":
+    main()

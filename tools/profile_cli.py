@@ -34,17 +34,26 @@ WHITELIST = os.path.join(REPO, "data/737K-august-2016.txt.gz")
 
 
 def tiled_sample(n_reads, d):
-    with gzip.open(SAMPLE, "rt") as f:
-        lines = f.read().splitlines(keepends=True)
-    n_src = len(lines) // 4
-    reps = -(-n_reads // n_src)
+    """Tile the sample to n_reads, streaming record-by-record (holding
+    the whole tiled file in RAM at large --reads would OOM the host)."""
     infile = os.path.join(d, "in.fastq.gz")
+    written = 0
     with gzip.open(infile, "wt", compresslevel=1) as g:
-        for t in range(reps):
-            for i in range(0, len(lines), 4):
-                g.write(f"@t{t}_{lines[i][1:]}")
-                g.writelines(lines[i + 1:i + 4])
-    return infile, reps * n_src
+        t = 0
+        while written < n_reads:
+            with gzip.open(SAMPLE, "rt") as f:
+                rec = []
+                for line in f:
+                    rec.append(line)
+                    if len(rec) == 4:
+                        g.write(f"@t{t}_{rec[0][1:]}")
+                        g.writelines(rec[1:])
+                        written += 1
+                        rec = []
+                        if written >= n_reads:
+                            break
+            t += 1
+    return infile, written
 
 
 def main():
