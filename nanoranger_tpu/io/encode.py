@@ -59,6 +59,13 @@ def encode_batch(seqs: list[bytes | str], max_len: int | None = None,
     """
     lengths = np.array([len(s) for s in seqs], dtype=np.int32)
     L = int(max_len if max_len is not None else (lengths.max() if len(seqs) else 0))
+    if len(seqs) and L and lengths.min() == lengths.max() == L:
+        # equal-length fast path (whitelists: 737K barcodes encode in one
+        # frombuffer instead of 737K row loops — ~40x)
+        blob = ("".join(seqs).encode("ascii") if isinstance(seqs[0], str)
+                else b"".join(seqs))
+        out = _ASCII_TO_CODE[np.frombuffer(blob, dtype=np.uint8)]
+        return out.reshape(len(seqs), L).astype(dtype, copy=False), lengths
     out = np.full((len(seqs), L), PAD, dtype=dtype)
     for i, s in enumerate(seqs):
         if isinstance(s, str):

@@ -89,6 +89,28 @@ def padded_refs(bcs: np.ndarray, spec: BarcodeMatchSpec) -> tuple[np.ndarray, np
 
     Returns (codes, ref_len). slideseq entries embed the linker:
     N*15 + bc[:8] + linker + bc[8:] + N*24 (utils.py:595)."""
+    n = len(bcs)
+    bc_lens = {len(b) for b in bcs}
+    if n and len(bc_lens) == 1:
+        # columnar build: encode the equal-length barcodes in one shot and
+        # paste into an N-filled matrix (the python string-concat path
+        # cost ~3 s for the 737K list)
+        bl = bc_lens.pop()
+        bc_codes, _ = encode_batch(list(bcs), max_len=bl)
+        if spec.slideseq_linker:
+            from .encode import encode as _enc
+            link = _enc(SLIDESEQ_LINKER)
+            ref_len = spec.pad_left + bl + len(link) + spec.pad_right
+            codes = np.full((n, ref_len), N, np.int8)
+            codes[:, spec.pad_left:spec.pad_left + 8] = bc_codes[:, :8]
+            codes[:, spec.pad_left + 8:spec.pad_left + 8 + len(link)] = link
+            codes[:, spec.pad_left + 8 + len(link):
+                  spec.pad_left + bl + len(link)] = bc_codes[:, 8:]
+        else:
+            ref_len = spec.pad_left + bl + spec.pad_right
+            codes = np.full((n, ref_len), N, np.int8)
+            codes[:, spec.pad_left:spec.pad_left + bl] = bc_codes
+        return codes, np.int32(ref_len)
     if spec.slideseq_linker:
         seqs = ["N" * spec.pad_left + b[:8] + SLIDESEQ_LINKER + b[8:] + "N" * spec.pad_right
                 for b in bcs]
@@ -96,5 +118,4 @@ def padded_refs(bcs: np.ndarray, spec: BarcodeMatchSpec) -> tuple[np.ndarray, np
         seqs = ["N" * spec.pad_left + b + "N" * spec.pad_right for b in bcs]
     ref_len = max((len(s) for s in seqs), default=0)
     codes, _ = encode_batch(seqs, max_len=ref_len)
-    assert (codes != N).sum() >= 0
     return codes, np.int32(ref_len)

@@ -64,6 +64,12 @@ MODE_DEFAULTS = {  # (trns_ref, genome_ref, barcodes) — reference pipeline.py
 }
 
 
+# standalone barcode-match program shape (match_barcodes + the AOT
+# loader prewarm in DeconRun._run_fast must agree, or the cached
+# executable misses)
+MATCH_BATCH, MATCH_LQ = 4096, 96
+
+
 def log(msg: str):
     print(f"[nanoranger-tpu] {msg}", flush=True)
 
@@ -257,7 +263,6 @@ class DeconRun:
         on_accel = jax.default_backend() != "cpu"
         BUCKETS = sorted({max(256, min(1024, max_len)),
                           max(256, min(2048, max_len)), max(256, max_len)})
-        step_for = {Lb: step for Lb in BUCKETS}
         if on_accel and os.environ.get("NANORANGER_AOT", "") != "0":
             # AOT executable cache: deterministic cold start (the jax
             # persistent cache keys are process-unstable for this program
@@ -266,15 +271,39 @@ class DeconRun:
             # the same table shapes reuses it. Default ON for
             # accelerators (VERDICT r3 #5); loads run under a watchdog
             # deadline with jit fallback because tunnel backends have
-            # hung on multi-hundred-MB transfers. NANORANGER_AOT=0
-            # disables.
+            # hung on multi-hundred-MB transfers (NANORANGER_AOT=0
+            # disables). Executables load on a BACKGROUND daemon thread,
+            # smallest bucket first, overlapping the ~5 s/program
+            # transfer with fastq streaming + host work; dispatch()
+            # blocks only on the bucket it actually needs. The standalone
+            # match program loads last so the barcode stage is warm by
+            # the time decon finishes.
+            import threading
+
             from .runtime.aot_cache import get_or_compile
-            for Lb in BUCKETS:
-                example = (np.full((batch_size, Lb), PAD, np.int8),
-                           np.zeros(batch_size, np.int32), tables)
-                step_for[Lb] = get_or_compile(
-                    f"cli_step_{spec.name}_L{Lb}", step, example,
-                    (spec.name, Lb), log=log)
+            _loaded: dict = {}
+            _evts = {Lb: threading.Event() for Lb in BUCKETS}
+
+            def _loader():
+                for Lb in BUCKETS:                # ascending: hot first
+                    example = (np.full((batch_size, Lb), PAD, np.int8),
+                               np.zeros(batch_size, np.int32), tables)
+                    _loaded[Lb] = get_or_compile(
+                        f"cli_step_{spec.name}_L{Lb}", step, example,
+                        (spec.name, Lb), log=log)
+                    _evts[Lb].set()
+                if matcher is not None and spec.barcode is not None:
+                    matcher.enable_aot(MATCH_BATCH, MATCH_LQ, log=log)
+
+            threading.Thread(target=_loader, daemon=True,
+                             name="nr-aot-loader").start()
+
+            def step_for(Lb):
+                _evts[Lb].wait()
+                return _loaded[Lb]
+        else:
+            def step_for(Lb):
+                return step
         do_match = matcher is not None and spec.barcode is not None
         umi_len = spec.barcode.umi_len if do_match else 0
         # per-phase wall accounting (surfaced in runstats as phase_s):
@@ -444,7 +473,7 @@ class DeconRun:
             a = acc[Lb]
             if a["n"] == 0:
                 return
-            out_dev = step_for[Lb](a["codes"], a["lengths"], tables)
+            out_dev = step_for(Lb)(a["codes"], a["lengths"], tables)
             pending.append((fastq.ReadBatch(a["codes"], a["lengths"],
                                             a["names"], a["quals"]),
                             a["seq"], a["n"], out_dev))
@@ -454,12 +483,14 @@ class DeconRun:
             if len(pending) > 3:
                 drain()
 
-        if on_accel:
-            # prewarm every bucket shape before the stream so no
-            # compile/load stall lands mid-run (each program load costs
-            # seconds over a remote-compile tunnel even on a cache hit)
+        if on_accel and os.environ.get("NANORANGER_AOT", "") == "0":
+            # no AOT loader: prewarm every bucket shape before the stream
+            # so no compile stall lands mid-run. (With the background
+            # loader, dispatch() blocks per bucket as needed — a
+            # synchronous prewarm here would serialize the loads and
+            # forfeit the streaming overlap.)
             for Lb in BUCKETS:
-                d = step_for[Lb](np.full((batch_size, Lb), PAD, np.int8),
+                d = step_for(Lb)(np.full((batch_size, Lb), PAD, np.int8),
                                  np.zeros(batch_size, np.int32), tables)
             jax.block_until_ready(d)
 
@@ -735,7 +766,11 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
             return df, res
     t0 = time.time()
     m = matcher or BarcodeMatcher(bcs_array, spec.barcode)
-    Lq = 96
+    Lq = MATCH_LQ
+    if len(seqs) and wl_shards <= 1 and data_shards <= 1:
+        # AOT-cached standalone match program (no-op on CPU / when the
+        # fused path's background loader already warmed it)
+        m.enable_aot(batch, Lq, log=log)
     if prematched is not None and wl_shards <= 1 and data_shards <= 1:
         res = {k: np.asarray(prematched[k]).copy()
                for k in ("bc_idx", "score", "status", "umi")}
@@ -1025,7 +1060,7 @@ def _ensure_clonotypes(mode, sub_path, outdir, sample, trns_ref,
 
 def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
                  barcodes=None, xpecies=None, batch_size=2048, force=False,
-                 wl_shards=1, data_shards=1):
+                 wl_shards=1, data_shards=1, scrub=False):
     _honor_jax_platforms_env()       # library entry too, not only main()
     _enable_compilation_cache()
     os.makedirs(outdir, exist_ok=True)
@@ -1158,6 +1193,17 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
             f"{len(cnts)} nonzeros")
         tele.stage("count_matrix", time.time() - ts,
                    genes=len(genes), cells=len(cells))
+    if scrub:
+        # reference cleanup analogue (pipeline.py:249-255 removes its
+        # STAR index dir, _matching.sam, _bcreads fasta, untagged BAM).
+        # This engine never materializes those; its only stage
+        # checkpoint is the assignment table — removing it trades the
+        # resume capability for the reference's post-run footprint.
+        for p in (f"{outdir}/{sample}_assignments.csv.gz",
+                  f"{outdir}/{sample}_assignments.csv.gz.meta.json"):
+            if os.path.isfile(p):
+                os.unlink(p)
+        log("scrub: removed stage checkpoints (re-runs recompute)")
     tele.write(outdir, sample)
 
 
@@ -1222,6 +1268,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--force", default=False, action="store_true",
                    help="recompute all stages, ignoring existing artifacts")
+    p.add_argument("--scrub", default=False, action="store_true",
+                   help="remove stage-checkpoint intermediates after a "
+                        "successful run (reference pipeline.py:249-255 "
+                        "cleanup analogue; disables resume)")
     p.add_argument("--wl_shards", type=int, default=1,
                    help="shard the whitelist match over this many devices "
                         "(jax.sharding mesh; 1 = single device)")
@@ -1235,7 +1285,7 @@ def main(argv=None):
     run_pipeline(a.mode, a.infile, a.outdir, a.expname, a.trns_ref,
                  a.genome_ref, a.barcodes, a.xpecies, a.batch_size,
                  force=a.force, wl_shards=a.wl_shards,
-                 data_shards=a.data_shards)
+                 data_shards=a.data_shards, scrub=a.scrub)
 
 
 if __name__ == "__main__":

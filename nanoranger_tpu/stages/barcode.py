@@ -206,7 +206,12 @@ class BarcodeMatcher:
     def __init__(self, barcodes: np.ndarray, spec: BarcodeMatchSpec,
                  jitter: int = 8, top_k: int = 8, force_bucket: bool = False,
                  rc_pass: bool = True):
+        import threading
+
         from ..ops.product_screen import ProductTable
+        self._aot_fn = None
+        self._aot_shape = None
+        self._aot_lock = threading.Lock()
         self.spec = spec
         self.barcodes = np.asarray(barcodes)
         bc_codes, _ = encode_batch([b for b in self.barcodes],
@@ -349,10 +354,48 @@ class BarcodeMatcher:
         """Jit-composable match: returns (bc, score, status, umi, qpos)."""
         return self.match_device_with(q, qlen, self.device_tables())
 
+    def enable_aot(self, batch: int, Lq: int, log=None):
+        """AOT-cache the standalone match program for (batch, Lq) inputs
+        (runtime/aot_cache.py): the standalone matcher otherwise pays a
+        ~12 s remote compile per process — the last cold-start item after
+        the fused-step executables are cached. Idempotent; thread-safe;
+        no-op on CPU or with NANORANGER_AOT=0."""
+        import os as _os
+
+        import jax as _jax
+        if (_jax.default_backend() == "cpu" or
+                _os.environ.get("NANORANGER_AOT", "") == "0"):
+            return
+        with self._aot_lock:
+            if self._aot_fn is not None and self._aot_shape == (batch, Lq):
+                return
+            from ..runtime.aot_cache import get_or_compile
+            t = self.device_tables()
+
+            @jax.jit
+            def fn(q, qlen, tt):
+                return self.match_device_with(q, qlen, tt)
+
+            example = (np.zeros((batch, Lq), np.int8),
+                       np.zeros(batch, np.int32), t)
+            s = self.spec
+            extra = (s.umi_ref_offset, s.umi_len, s.as_min, s.bc_len,
+                     self.top_k, self.rc_pass, int(len(self.barcodes)),
+                     self.ref_len)
+            self._aot_fn = get_or_compile("match", fn, example, extra,
+                                          log=log)
+            self._aot_shape = (batch, Lq)
+            self._aot_tables = t
+
     def match(self, q: np.ndarray, qlen: np.ndarray):
         """q: (B, Lq) int8 BC-UMI candidates; returns dict of numpy arrays."""
-        bc, score, status, umi, qpos = self.match_device(
-            jnp.asarray(q), jnp.asarray(qlen))
+        if getattr(self, "_aot_fn", None) is not None and \
+                q.shape == self._aot_shape:
+            bc, score, status, umi, qpos = self._aot_fn(
+                jnp.asarray(q), jnp.asarray(qlen), self._aot_tables)
+        else:
+            bc, score, status, umi, qpos = self.match_device(
+                jnp.asarray(q), jnp.asarray(qlen))
         return {"bc_idx": np.asarray(bc), "score": np.asarray(score),
                 "status": np.asarray(status), "umi": np.asarray(umi),
                 "qpos": np.asarray(qpos)}

@@ -214,7 +214,9 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
         # conditional SECOND pass matches the spill slots, so every
         # adapter hit is always matched — n_deferred is 0 by construction
         # and kept only as an invariant for callers to assert.
-        M = max(1, (3 * R) // 4)
+        # budget = one hit per READ (M = B = R/S): real libraries average
+        # <1 adapter hit/read, and the spill pass exactly covers the rest
+        M = max(1, R // S)
         sort_key = jnp.where(hit, 0, 1).astype(jnp.int32)
         _, perm = jax.lax.sort(
             (sort_key, jnp.arange(R, dtype=jnp.int32)), num_keys=1)

@@ -41,6 +41,11 @@ MAX_EXTRAPOLATE = 9    # ungapped extension allowed past alignment end
 FALLBACK_VTAIL = 60    # 5' window V-tail length (utils.py:245: lclipV=60)
 FALLBACK_MAX_NMFRAC = 0.40
 
+PARTIAL_MIN_NT = 15    # >= min_cdr3 codons of junction prefix to rescue
+PARTIAL_WINDOW_NT = 3 * (35 + 4) + 2   # extract_cdr3's J-motif scan
+#                        window: only reads truncating INSIDE it are
+#                        "partial" (a longer tail with no J motif is junk)
+
 C_PROBE = 140          # nt probed downstream of the CDR3 for the C gene
 C_HEAD = 160           # head of each C reference entered in the k-mer set
 C_K = 11               # probe k-mer size (0.92^11 ≈ 0.4 survival at ONT err)
@@ -222,6 +227,25 @@ def call_clonotypes(sub_fastq: str, v_fastas: list, outdir: str,
             got = cdr3mod.extract_cdr3(batch.codes[i, :qlen], cys_read,
                                        require_cys=not pinned)
             if got is None:
+                # partial junction (assemblePartial/extend analogue,
+                # reference scripts/mixcr4.sh:10-14): the read TRUNCATES
+                # inside the J-motif scan window, so the junction prefix
+                # is real but incomplete. Emit it for overlap-merge onto
+                # an assembled clone (clonotype.assemble partials tier).
+                # Only base-level-pinned anchors qualify, and the prefix
+                # must be stop-free in the Cys frame.
+                tail_len = qlen - cys_read
+                if pinned and PARTIAL_MIN_NT <= tail_len < PARTIAL_WINDOW_NT:
+                    tail = np.asarray(batch.codes[i, cys_read:qlen])
+                    aa_p = cdr3mod.translate(tail)
+                    if aa_p and "*" not in aa_p:
+                        from ..io.encode import decode as _d
+                        calls.append(ReadCall(
+                            name=batch.names[i], v_name=index.names[v],
+                            v_score=int(sc),
+                            chain=cdr3mod.chain_of(index.names[v]),
+                            cdr3_nt=_d(tail, tail_len), cdr3_aa="",
+                            clean=False, partial=True))
                 continue
             nt, aa = got
             clean = (not aa.endswith("_")) and aa.startswith("C")
@@ -250,9 +274,14 @@ def call_clonotypes(sub_fastq: str, v_fastas: list, outdir: str,
     if _os.path.isfile(d_path):
         from .clonotype import DPanel
         d_panel = DPanel(d_path)
-    clones, cloneID = assemble(calls, v_tails=v_tails, d_panel=d_panel)
+    stats: dict = {}
+    clones, cloneID = assemble(calls, v_tails=v_tails, d_panel=d_panel,
+                               stats=stats)
     write_exports(clones, cloneID, outdir, sample)
+    npar = stats.get("n_partial_reads", 0)
     log(f"native clonotyper: {n_total} subreads → {n_aligned} V-aligned "
-        f"+ {n_fallback} name-hinted, {len(calls)} CDR3 calls, "
+        f"+ {n_fallback} name-hinted, {len(calls) - npar} CDR3 calls "
+        f"(+{npar} partial junctions, "
+        f"{stats.get('n_partial_assigned', 0)} merged into clones), "
         f"{len(clones)} clones ({time.time() - t0:.1f}s)")
     return clones, cloneID

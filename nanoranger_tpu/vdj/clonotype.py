@@ -122,6 +122,12 @@ class ReadCall:
     clean: bool = True  # in-frame + Cys-anchored (may found a clone)
     c_name: str = ""    # constant-region gene (vdj/caller._CPanel)
     c_score: int = 0    # shared-kmer evidence count
+    partial: bool = False  # junction truncated at the read end (no J
+    #                        motif): cdr3_nt holds only the PREFIX. Such
+    #                        reads never found clones; they overlap-merge
+    #                        onto an assembled clone's junction prefix —
+    #                        the role of MiXCR v4's assemblePartial +
+    #                        extend (reference scripts/mixcr4.sh:10-14)
 
 
 def lev_batch(a_strs: list, b_strs: list) -> np.ndarray:
@@ -179,7 +185,8 @@ def _empty():
 
 
 def assemble(calls: list, v_tails: dict | None = None,
-             d_panel: "DPanel | None" = None
+             d_panel: "DPanel | None" = None,
+             stats: dict | None = None
              ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Two-tier clone assembly; cloneId = rank by read count (like MiXCR).
 
@@ -191,8 +198,9 @@ def assemble(calls: list, v_tails: dict | None = None,
       clones_df columns: CLONE_COLUMNS
       cloneID_df columns: descrsR1, cloneId, chains
     """
-    clean = [c for c in calls if c.clean]
-    rescued = [c for c in calls if not c.clean]
+    clean = [c for c in calls if c.clean and not c.partial]
+    rescued = [c for c in calls if not c.clean and not c.partial]
+    partials = [c for c in calls if c.partial]
     if not clean:
         return _empty()
 
@@ -285,6 +293,47 @@ def assemble(calls: list, v_tails: dict | None = None,
         for call in res_groups[rkeys[r]]:
             counts[k] += 1
             rescued_assigned.append((call, k))
+
+    # --- partial-junction overlap-merge (assemblePartial/extend role) -----
+    # A partial read carries only a junction PREFIX (truncated before the
+    # J motif). It joins a surviving clone iff its prefix matches that
+    # clone's junction prefix within the rescue edit cap AND the match is
+    # UNIQUE — an ambiguous overlap (distance tie across clones) is
+    # dropped, like assemblePartial's unique-overlap requirement.
+    par_groups: dict = {}
+    for c in partials:
+        par_groups.setdefault((c.chain, c.cdr3_nt), []).append(c)
+    pkeys = list(par_groups)
+    ppi, ppk = [], []          # partial-key index, clone (raw) index
+    for r, (ch, nt) in enumerate(pkeys):
+        for k in keep:
+            if chains[k] == ch and len(nts[k]) >= len(nt):
+                ppi.append(r)
+                ppk.append(int(k))
+    pdists = lev_batch([pkeys[r][1] for r in ppi],
+                       [nts[k][:len(pkeys[r][1])]
+                        for r, k in zip(ppi, ppk)])
+    pbest: dict = {}
+    for r, k, d in zip(ppi, ppk, pdists):
+        cap = _rescue_cap(len(pkeys[r][1]))
+        if d > cap:
+            continue
+        cur = pbest.get(r)
+        if cur is None or d < cur[0]:
+            pbest[r] = (int(d), k, False)
+        elif d == cur[0] and k != cur[1]:
+            pbest[r] = (int(d), cur[1], True)       # ambiguous → drop
+    n_partial_assigned = 0
+    for r, (_, k, ambiguous) in pbest.items():
+        if ambiguous:
+            continue
+        for call in par_groups[pkeys[r]]:
+            counts[k] += 1
+            rescued_assigned.append((call, k))
+            n_partial_assigned += 1
+    if stats is not None:
+        stats["n_partial_reads"] = len(partials)
+        stats["n_partial_assigned"] = n_partial_assigned
 
     # --- final numbering ---------------------------------------------------
     clones = raw.loc[keep].copy()

@@ -209,3 +209,50 @@ def test_assemble_carries_d_and_imputed(rng):
     clones, _ = assemble(calls, v_tails={"TRBV9|X": "TGTGCCAGC"},
                          d_panel=dp)
     assert clones.allDHitsWithScore.iloc[0].startswith("TRBD1")
+
+
+def test_assemble_partial_junction_merge():
+    """Partial junctions (read truncated before the J motif) overlap-merge
+    onto assembled clones — the MiXCR v4 assemblePartial/extend analogue
+    (reference scripts/mixcr4.sh:10-14). Unique prefix match joins and
+    counts; ambiguous (distance tie across clones) drops; prefix from an
+    unrelated junction drops."""
+    def calls_of(nt, n, chain="TRB", tag=""):
+        return [ReadCall(f"r{tag}{i}", "TRBV1-1|x", 100, chain, nt,
+                         "CXXF", True) for i in range(n)]
+
+    a_nt = "TGT" + "GCTAGA" * 5 + "TTT"
+    b_nt = "TGT" + "CATCGG" * 5 + "TTT"
+    calls = calls_of(a_nt, 6) + calls_of(b_nt, 3, tag="b")
+
+    # unique partial: prefix of a_nt with one substitution
+    p1 = a_nt[:18]
+    p1 = p1[:7] + ("A" if p1[7] != "A" else "C") + p1[8:]
+    # ambiguous partial: equal distance to both clones' shared prefix
+    p2 = "TGT" + "AAAAAA" + "AAAAAA"       # far from both → drops via cap
+    # unrelated long junk prefix
+    partial_calls = [
+        ReadCall("pp1", "TRBV1-1|x", 90, "TRB", p1, "", clean=False,
+                 partial=True),
+        ReadCall("pp2", "TRBV1-1|x", 90, "TRB", p2, "", clean=False,
+                 partial=True),
+    ]
+    stats = {}
+    clones, ids = assemble(calls + partial_calls, stats=stats)
+    assert stats["n_partial_reads"] == 2
+    assert stats["n_partial_assigned"] == 1
+    top = clones.iloc[0]
+    assert top.nSeqImputedCDR3 == a_nt
+    assert top.cloneCount == 7             # 6 clean + 1 partial merged
+    assert "pp1" in set(ids.descrsR1)
+    assert "pp2" not in set(ids.descrsR1)
+
+    # ambiguity: two clones sharing the probed prefix -> tie -> drop
+    c_nt = a_nt[:24] + "TACGTT" + "TTT"    # same first 24nt as a_nt
+    calls2 = calls_of(a_nt, 6) + calls_of(c_nt, 3, tag="c")
+    tie = [ReadCall("pt", "TRBV1-1|x", 90, "TRB", a_nt[:18], "",
+                    clean=False, partial=True)]
+    stats2 = {}
+    clones2, ids2 = assemble(calls2 + tie, stats=stats2)
+    assert stats2["n_partial_assigned"] == 0
+    assert "pt" not in set(ids2.descrsR1)

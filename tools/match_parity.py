@@ -138,52 +138,79 @@ def exact_hits(seqs, wl_index: dict, b):
     return fwd, rc, fpos
 
 
-def dp_best(seqs_sub, refs_np, umi_ref_offset, ref_chunk=8192,
-            cand_chunk=24, log=print):
-    """Exhaustive DP of each candidate vs ALL refs.
+def dp_best(seqs_sub, refs_np, umi_ref_offset, ref_chunk=16384,
+            cand_chunk=16, log=print):
+    """Exhaustive DP of each candidate vs ALL refs with the validated
+    scorer (ops.sw.sw_end2end_xla — the reference-DP-validated XLA scan,
+    NOT the engine's banded Pallas kernel). The whitelist lives on the
+    default JAX device once; one jitted program slices a ref chunk,
+    tiles it against a candidate chunk, scores, and reduces to
+    (max, smallest-argmax, tie-count) on device — on the TPU this makes
+    the 737K x n_cand sweep minutes instead of CPU-days.
 
     Returns per candidate: (best_score, best_idx(smallest), n_best_refs,
     qpos_of_best, uvalid_of_best)."""
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
     from nanoranger_tpu.io.encode import encode_batch
     from nanoranger_tpu.ops.sw import sw_end2end_xla
     n = len(seqs_sub)
     R, Lr = refs_np.shape
+    pad_R = -(-R // ref_chunk) * ref_chunk
+    refs_dev = jnp.asarray(np.pad(refs_np, ((0, pad_R - R), (0, 0)),
+                                  constant_values=-1))   # PAD rows score NEG
+    q_all, qlen_all = encode_batch(seqs_sub, max_len=96)
+
+    @functools.partial(jax.jit, static_argnames=("C", "Rc"))
+    def chunk_best(q, ql, rs, C, Rc):
+        rf = jax.lax.dynamic_slice_in_dim(refs_dev, rs, Rc, axis=0)
+        qq = jnp.repeat(q, Rc, axis=0)
+        qql = jnp.repeat(ql, Rc)
+        rfp = jnp.tile(rf, (C, 1))
+        rl = jnp.full((C * Rc,), Lr, jnp.int32)
+        sc, qp, uv = sw_end2end_xla(qq, qql, rfp, rl, umi_ref_offset)
+        # padded whitelist rows are all-PAD: every column scores -1, so
+        # they can never reach a real row's max; additionally force NEG
+        is_pad = jnp.tile(rf[:, 0] < 0, C)
+        sc = jnp.where(is_pad, -(1 << 20), sc).reshape(C, Rc)
+        qp = qp.reshape(C, Rc)
+        uv = uv.reshape(C, Rc)
+        mx = jnp.max(sc, axis=1)
+        arg = jnp.argmax(sc, axis=1)                  # smallest index
+        cnt = jnp.sum(sc == mx[:, None], axis=1)
+        qpb = jnp.take_along_axis(qp, arg[:, None], axis=1)[:, 0]
+        uvb = jnp.take_along_axis(uv, arg[:, None], axis=1)[:, 0]
+        return mx, arg, cnt, qpb, uvb
+
     best = np.full(n, -10**9, np.int64)
     bidx = np.full(n, -1, np.int64)
     nbest = np.zeros(n, np.int64)
     qpos = np.full(n, -1, np.int64)
     uval = np.zeros(n, bool)
-    q_all, qlen_all = encode_batch(seqs_sub, max_len=96)
     t0 = time.time()
     for cs in range(0, n, cand_chunk):
         ce = min(cs + cand_chunk, n)
         C = ce - cs
-        for rs in range(0, R, ref_chunk):
-            re_ = min(rs + ref_chunk, R)
-            Rc = re_ - rs
-            q = np.repeat(q_all[cs:ce], Rc, axis=0)
-            ql = np.repeat(qlen_all[cs:ce], Rc)
-            rf = np.tile(refs_np[rs:re_], (C, 1))
-            rl = np.full(C * Rc, Lr, np.int32)
-            sc, qp, uv = sw_end2end_xla(jnp.asarray(q), jnp.asarray(ql),
-                                        jnp.asarray(rf), jnp.asarray(rl),
-                                        umi_ref_offset)
-            sc = np.asarray(sc).reshape(C, Rc)
-            qp = np.asarray(qp).reshape(C, Rc)
-            uv = np.asarray(uv).reshape(C, Rc)
+        q = jnp.asarray(np.pad(q_all[cs:ce],
+                               ((0, cand_chunk - C), (0, 0))))
+        ql = jnp.asarray(np.pad(qlen_all[cs:ce], (0, cand_chunk - C)))
+        outs = []
+        for rs in range(0, pad_R, ref_chunk):
+            outs.append(chunk_best(q, ql, rs, cand_chunk, ref_chunk))
+        for rs, (mx, arg, cnt, qpb, uvb) in zip(
+                range(0, pad_R, ref_chunk), map(jax.device_get, outs)):
             for k in range(C):
                 g = cs + k
-                mx = int(sc[k].max())
-                cnt = int((sc[k] == mx).sum())
-                arg = rs + int(np.argmax(sc[k]))
-                if mx > best[g]:
-                    best[g], bidx[g], nbest[g] = mx, arg, cnt
-                    qpos[g] = int(qp[k][arg - rs])
-                    uval[g] = bool(uv[k][arg - rs])
-                elif mx == best[g]:
-                    nbest[g] += cnt
+                m, a, c_ = int(mx[k]), rs + int(arg[k]), int(cnt[k])
+                if m > best[g]:
+                    best[g], bidx[g], nbest[g] = m, a, c_
+                    qpos[g] = int(qpb[k])
+                    uval[g] = bool(uvb[k])
+                elif m == best[g]:
+                    nbest[g] += c_
         log(f"  dp {ce}/{n} candidates ({time.time() - t0:.0f}s)")
     return best, bidx, nbest, qpos, uval
 
