@@ -104,6 +104,37 @@ class ShardedWhitelist:
         self.n_real = np.minimum(
             np.maximum(n - per * np.arange(n_wl), 0), per).astype(np.int32)
 
+        # per-shard exact-window key tables (stages/barcode
+        # exact_window_hits): the whole-candidate score-16 pass. Padding
+        # rows get sentinel key 0xFFFFFFFF with idx -1 (never counted);
+        # stable real-first ordering keeps searchsorted-left correct even
+        # if a real barcode shares the sentinel key value.
+        self.exact = None
+        if not spec.slideseq_linker and spec.bc_len <= 16:
+            ek = np.full((n_wl, per), 0xFFFFFFFF, np.uint32)
+            ei = np.full((n_wl, per), -1, np.int32)
+            rk = np.full((n_wl, per), 0xFFFFFFFF, np.uint32)
+            ri = np.full((n_wl, per), -1, np.int32)
+            for s in range(n_wl):
+                nr = int(self.n_real[s])
+                shard = self.barcodes[s * per: s * per + nr]
+                codes, _ = encode_batch([b for b in shard],
+                                        max_len=spec.bc_len)
+                rc_codes = COMPLEMENT[codes][:, ::-1]
+                keys = np.zeros(nr, np.uint32)
+                rkeys = np.zeros(nr, np.uint32)
+                for t in range(spec.bc_len):
+                    keys = (keys << np.uint32(2)) | codes[:, t].astype(np.uint32)
+                    rkeys = (rkeys << np.uint32(2)) | \
+                        rc_codes[:, t].astype(np.uint32)
+                order = np.argsort(keys, kind="stable")
+                ek[s, :nr] = keys[order]
+                ei[s, :nr] = order
+                rk[s, :nr] = np.sort(rkeys)
+                ri[s, :nr] = 0
+            self.exact = {"ex_keys": ek, "ex_idx": ei, "rc_ex_keys": rk,
+                          "rc_ex_idx": ri}
+
     @staticmethod
     def _stack_products(prods):
         """Stack per-shard ProductTables, zero/-1-padding distinct-half
@@ -132,6 +163,9 @@ class ShardedWhitelist:
         for tag, t in (("p", self.prod), ("r", self.rc_prod)):
             for k, v in t.items():
                 arrs[f"{tag}_{k}"] = put(v, P("wl"))
+        if self.exact is not None:
+            for k, v in self.exact.items():
+                arrs[k] = put(v, P("wl"))
         return arrs
 
 
@@ -151,14 +185,15 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
     rqd2, rl1, rl2 = swl.rc_meta
     rc_nominal, c_rc = swl.rc_plan.nominal, swl.c_rc
 
-    def local(q, qlen, refs, rc_refs, n_real, offset,
-              p_planes1, p_planes2, p_pair,
-              r_planes1, r_planes2, r_pair):
+    def local(q, qlen, arrs):
         # leading wl-shard axis of size 1 inside the shard body
-        refs, rc_refs = refs[0], rc_refs[0]
-        n_real, offset = n_real[0], offset[0]
-        p_planes1, p_planes2, p_pair = p_planes1[0], p_planes2[0], p_pair[0]
-        r_planes1, r_planes2, r_pair = r_planes1[0], r_planes2[0], r_pair[0]
+        a = {k: v[0] for k, v in arrs.items()}
+        refs, rc_refs = a["refs"], a["rc_refs"]
+        n_real, offset = a["n_real"], a["offsets"]
+        p_planes1, p_planes2, p_pair = a["p_planes1"], a["p_planes2"], \
+            a["p_pair"]
+        r_planes1, r_planes2, r_pair = a["r_planes1"], a["r_planes2"], \
+            a["r_pair"]
         B = q.shape[0]
         K = max(2 * top_k, 16)
         cand, cheap = product_screen(q, qlen, p_planes1, p_planes2, p_pair,
@@ -228,9 +263,51 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
         okk = any_g & ~low & ~multimap
         status = jnp.where(okk & umi_ok, ACCEPT,
                            jnp.where(okk, BAD_UMI, status))
+
+        # ---- whole-candidate exact pass (stages/barcode
+        # exact_window_hits): shard-local distinct counts SUM across the
+        # disjoint whitelist shards; the unique exact barcode (global min
+        # id) overrides lower-scoring screened verdicts and second
+        # score-16 loci multimap-drop — same semantics as the single-chip
+        # matcher's apply_exact
+        rc_exact_any = None
+        if "ex_keys" in arrs:
+            from ..stages.barcode import (exact_window_any,
+                                          exact_window_hits)
+            bl = spec.bc_len
+            nd_l, ebc_l, eqpos_l = exact_window_hits(
+                q, qlen, a["ex_keys"], a["ex_idx"], bl,
+                spec.pad_left, spec.pad_right)
+            BIGE = jnp.int32(1 << 30)
+            ebc_lg = jnp.where(ebc_l >= 0, ebc_l + offset, BIGE)
+            nd = jnp.sum(g(nd_l), axis=0)
+            ebc_g2 = g(ebc_lg)
+            win_e = jnp.argmin(ebc_g2, axis=0)
+            ebc = jnp.take_along_axis(ebc_g2, win_e[None, :], axis=0)[0]
+            eqpos = jnp.take_along_axis(g(eqpos_l), win_e[None, :],
+                                        axis=0)[0]
+            eany = nd >= 1
+            s16 = jnp.int32(bl)
+            tie = (nd >= 2) | (eany & (best_score == s16) & (best_bc != ebc))
+            better = eany & (best_score < s16)
+            best_score = jnp.where(eany, s16, best_score)
+            best_bc = jnp.where(better, ebc, best_bc)
+            u_ok_e = (eqpos >= 0) & (eqpos + ulen <= qlen)
+            status = jnp.where(better,
+                               jnp.where(u_ok_e, ACCEPT, BAD_UMI), status)
+            best_qpos = jnp.where(better, eqpos, best_qpos)
+            status = jnp.where(tie, MULTIMAP, status)
+            rc_exact_any = exact_window_any(
+                q, qlen, a["rc_ex_keys"], bl, spec.pad_right,
+                spec.pad_left, idx_sorted=a["rc_ex_idx"])
+
         # reverse-strand suppression (global rc best over 'wl'):
         # rc > fwd → STAR flag-16 row the reference rejects; tie → 2 loci
         rc_best = jnp.max(jax.lax.all_gather(rc_local, "wl"), axis=0)
+        if rc_exact_any is not None:
+            rc_any_g = jnp.any(g(rc_exact_any), axis=0)
+            rc_best = jnp.maximum(
+                rc_best, jnp.where(rc_any_g, jnp.int32(spec.bc_len), NEG))
         status = jnp.where(rc_best > best_score, RC_BEST, status)
         status = jnp.where((rc_best == best_score) & (rc_best > NEG),
                            MULTIMAP, status)
@@ -247,7 +324,12 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
         counts = jax.lax.psum(counts, "data")
         return best_bc, best_score, status, umi, counts[None, :]
 
-    in_specs = (P("data"), P("data")) + (P("wl"),) * 10
+    arr_keys = ["refs", "rc_refs", "n_real", "offsets",
+                "p_planes1", "p_planes2", "p_pair",
+                "r_planes1", "r_planes2", "r_pair"]
+    if swl.exact is not None:
+        arr_keys += list(swl.exact)
+    in_specs = (P("data"), P("data"), {k: P("wl") for k in arr_keys})
     out_specs = (P("data"), P("data"), P("data"), P("data"), P("wl"))
 
     fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,

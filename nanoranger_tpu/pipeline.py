@@ -689,11 +689,7 @@ def _sharded_match_fn(spec, bcs_array, wl_shards, data_shards=1):
         if n_pad:
             q = np.pad(q, ((0, n_pad), (0, 0)))
             qlen = np.pad(qlen, (0, n_pad))
-        bc, score, status, umi, _ = fn(
-            q, qlen, arrs["refs"], arrs["rc_refs"], arrs["n_real"],
-            arrs["offsets"], arrs["p_planes1"], arrs["p_planes2"],
-            arrs["p_pair"], arrs["r_planes1"], arrs["r_planes2"],
-            arrs["r_pair"])
+        bc, score, status, umi, _ = fn(q, qlen, arrs)
         return {"bc_idx": np.asarray(bc)[:n], "score": np.asarray(score)[:n],
                 "status": np.asarray(status)[:n],
                 "umi": np.asarray(umi)[:n]}

@@ -68,6 +68,111 @@ def _apply_rc(status, best_score, rc_best, umi):
     return status, umi
 
 
+def pack_window_keys(q, bc_len: int):
+    """2-bit keys of every bc_len-window of each row: (B, W) uint32 +
+    validity (no N/PAD inside the window). bc_len <= 16."""
+    B, Lq = q.shape
+    W = Lq - bc_len + 1
+    c = q.astype(jnp.uint32)
+    ok = (q >= 0) & (q < 4)
+    keys = jnp.zeros((B, W), jnp.uint32)
+    allok = jnp.ones((B, W), bool)
+    for t in range(bc_len):
+        keys = (keys << 2) | c[:, t:t + W]
+        allok = allok & ok[:, t:t + W]
+    return keys, allok
+
+
+def exact_window_hits(q, qlen, keys_sorted, idx_sorted, bc_len: int,
+                      max_pre: int, max_suf: int):
+    """All EXACT whitelist bc_len-mers inside each candidate, at any
+    position the N-pads can absorb — i.e. every score-16 (= bc_len)
+    end-to-end alignment. STAR aligns the whole candidate against the
+    whole padded row, so a second perfect barcode ANYWHERE in the
+    candidate is a second best locus (outFilterMultimapNmax 1 ⇒ drop);
+    the jittered product screen only looks near the nominal offset and
+    cannot see these (match_parity.py round-4 finding).
+
+    A score of bc_len requires the exact contiguous barcode with its
+    flanking query chars absorbed by the N pads: window start i <=
+    max_pre and tail <= max_suf (extra chars would be -1 insertions).
+
+    Returns (n_distinct, ebc, eqpos): how many DISTINCT barcodes hit
+    (sharded callers SUM these across disjoint whitelist shards), the
+    smallest hitting barcode id (-1 when none; it is THE barcode when
+    n_distinct == 1), and the query position after its LAST occurrence
+    (the kernels' largest-on-path qpos tie rule).
+
+    idx_sorted entries < 0 mark padding rows (sharded whitelists pad to
+    equal size); their windows never count."""
+    B, Lq = q.shape
+    W = Lq - bc_len + 1
+    keys, allok = pack_window_keys(q, bc_len)
+    i_arr = jnp.arange(W, dtype=jnp.int32)[None, :]
+    tail = qlen[:, None] - (i_arr + bc_len)
+    feas = (i_arr <= max_pre) & (tail >= 0) & (tail <= max_suf)
+    pos = jnp.searchsorted(keys_sorted, keys.reshape(-1)).reshape(B, W)
+    pos_c = jnp.clip(pos, 0, keys_sorted.shape[0] - 1)
+    found = allok & feas & (keys_sorted[pos_c] == keys) & \
+        (idx_sorted[pos_c] >= 0)
+    BIG = jnp.int32(1 << 30)
+    hit_bc = jnp.where(found, idx_sorted[pos_c], BIG)
+    sorted_bc = jax.lax.sort(hit_bc, dimension=1)
+    prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32),
+                            sorted_bc[:, :-1]], axis=1)
+    n_distinct = jnp.sum((sorted_bc != prev) & (sorted_bc < BIG),
+                         axis=1).astype(jnp.int32)
+    any_ = n_distinct >= 1
+    ebc = jnp.where(any_, sorted_bc[:, 0], -1)
+    last_i = jnp.max(jnp.where(found & (hit_bc == ebc[:, None]), i_arr, -1),
+                     axis=1)
+    eqpos = jnp.where(any_, last_i + bc_len, -1)
+    return n_distinct, ebc, eqpos
+
+
+def exact_window_any(q, qlen, keys_sorted, bc_len: int, max_pre: int,
+                     max_suf: int, idx_sorted=None):
+    """Reverse-strand variant: only existence matters (an exact rc
+    structure equals the max attainable rc score). idx_sorted (optional)
+    marks padding rows with negative entries — sharded whitelists pad
+    with sentinel keys that must never count."""
+    B, Lq = q.shape
+    W = Lq - bc_len + 1
+    keys, allok = pack_window_keys(q, bc_len)
+    i_arr = jnp.arange(W, dtype=jnp.int32)[None, :]
+    tail = qlen[:, None] - (i_arr + bc_len)
+    feas = (i_arr <= max_pre) & (tail >= 0) & (tail <= max_suf)
+    pos = jnp.searchsorted(keys_sorted, keys.reshape(-1)).reshape(B, W)
+    pos_c = jnp.clip(pos, 0, keys_sorted.shape[0] - 1)
+    found = allok & feas & (keys_sorted[pos_c] == keys)
+    if idx_sorted is not None:
+        found = found & (idx_sorted[pos_c] >= 0)
+    return jnp.any(found, axis=1)
+
+
+def apply_exact(bc, score, status, umi, q, qlen, eany, emulti, ebc, eqpos,
+                bc_len: int, umi_len: int):
+    """Merge exact-window results into the screened verdicts: a unique
+    exact barcode overrides any lower-scoring screened result; a second
+    distinct score-16 locus (exact-exact or exact-vs-screened) is a STAR
+    multimap drop."""
+    s16 = jnp.int32(bc_len)
+    tie = emulti | (eany & (score == s16) & (bc != ebc))
+    better = eany & (score < s16)
+    score = jnp.where(eany, s16, score)
+    bc = jnp.where(better, ebc, bc)
+    Lq = q.shape[1]
+    off = jnp.arange(umi_len, dtype=jnp.int32)[None, :]
+    uidx = jnp.clip(eqpos[:, None] + off, 0, Lq - 1)
+    umi_e = jnp.take_along_axis(q, uidx, axis=1)
+    u_ok = (eqpos >= 0) & (eqpos + umi_len <= qlen)
+    status = jnp.where(better, jnp.where(u_ok, ACCEPT, BAD_UMI), status)
+    umi = jnp.where(better[:, None], umi_e, umi)
+    status = jnp.where(tie, MULTIMAP, status)
+    umi = jnp.where((status == ACCEPT)[:, None], umi, PAD)
+    return bc, score, status, umi
+
+
 def rc_half_layout(spec: BarcodeMatchSpec):
     """Seed-half layout of the REVCOMP'd barcode structure (the bc, or
     bc8+linker+bc6 for slideseq — revcomp'd structure = rc(bc6) + rc(linker)
@@ -250,6 +355,26 @@ class BarcodeMatcher:
         # nominal offset (STAR searches both strands,
         # scripts/barcode_align.sh:14-35; reference accepts flag==0 only,
         # utils.py:699 — see RC_BEST above)
+        # ---- exact-window tables: sorted 2-bit keys of the barcodes and
+        # of their revcomps, for the whole-candidate exact score-16 pass
+        # (exact_window_hits; not applicable to the 32-nt slideseq
+        # structure — a 32-mer exceeds the 2-bit uint32 key and exact
+        # full-structure collisions are not physically reachable there)
+        self._ex_np = None
+        if not spec.slideseq_linker and spec.bc_len <= 16:
+            keys = np.zeros(len(self.barcodes), np.uint32)
+            for t in range(spec.bc_len):
+                keys = (keys << np.uint32(2)) | bc_codes[:, t].astype(np.uint32)
+            order = np.argsort(keys, kind="stable")
+            from ..io.encode import COMPLEMENT as _C
+            rc_codes = _C[bc_codes][:, ::-1]
+            rkeys = np.zeros(len(self.barcodes), np.uint32)
+            for t in range(spec.bc_len):
+                rkeys = (rkeys << np.uint32(2)) | rc_codes[:, t].astype(np.uint32)
+            self._ex_np = (keys[order], order.astype(np.int32),
+                           np.sort(rkeys))
+            self._ex_dev = None
+
         self.rc_pass = rc_pass
         if rc_pass:
             from ..io.encode import COMPLEMENT as _C
@@ -300,6 +425,10 @@ class BarcodeMatcher:
                          rc_pair=self._rc_pair)
             else:
                 t["rc_tables"] = self._rc_tables
+        if self._ex_np is not None:
+            if self._ex_dev is None:
+                self._ex_dev = tuple(jnp.asarray(a) for a in self._ex_np)
+            t["ex_keys"], t["ex_idx"], t["rc_ex_keys"] = self._ex_dev
         return t
 
     def rc_best_with(self, q, qlen, t):
@@ -345,8 +474,25 @@ class BarcodeMatcher:
                 umi_len=self.spec.umi_len, as_min=self.spec.as_min,
                 top_k=self.top_k, maxocc=self.maxocc,
                 pad_left=pad_left, full_len=full_len)
+        if "ex_keys" in t:
+            # whole-candidate exact pass: every score-16 locus at any
+            # N-pad-feasible position (STAR sees the full row; the
+            # jittered screen does not — see exact_window_hits)
+            nd, ebc, eqpos = exact_window_hits(
+                q, qlen, t["ex_keys"], t["ex_idx"], self.spec.bc_len,
+                self.spec.pad_left, self.spec.pad_right)
+            bc, score, status, umi = apply_exact(
+                bc, score, status, umi, q, qlen, nd >= 1, nd >= 2, ebc,
+                eqpos, self.spec.bc_len, self.spec.umi_len)
         if self.rc_pass:
             rc_best = self.rc_best_with(q, qlen, t)
+            if "rc_ex_keys" in t:
+                r_any = exact_window_any(
+                    q, qlen, t["rc_ex_keys"], self.spec.bc_len,
+                    self.spec.pad_right, self.spec.pad_left)
+                rc_best = jnp.maximum(
+                    rc_best, jnp.where(r_any, jnp.int32(self.spec.bc_len),
+                                       NEG))
             status, umi = _apply_rc(status, score, rc_best, umi)
         return bc, score, status, umi, qpos
 

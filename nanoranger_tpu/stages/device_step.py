@@ -126,22 +126,14 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
     gate_3p = spec.name in ("3pXCR_slideseq", "3p10XTCR", "3p10XTCR_nuc",
                             "3p10XGEX")
 
-    @jax.jit
-    def step(codes, lengths):
-        B, L = codes.shape
-        chain_out = seed_and_chain(codes, lengths, *idx_arrays,
-                                   max_minimizers=max_minimizers)
-        rec = _device_records(chain_out, lengths, S)
-        R = B * S
-        read_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
-        strand = rec["strand"].reshape(R)
-        qstart = rec["qstart"].reshape(R)
-        qend = rec["qend"].reshape(R)
-        ok = rec["ok"].reshape(R)
-        rlen = lengths[read_idx]
+    umi_len = spec.barcode.umi_len
 
-        # adapter scan over the stored-orientation flank window — the same
-        # jitted engine the streamed path uses (stages/decon._scan_flanks)
+    def scan_and_match(codes, lengths, read_idx, strand, qstart, qend, ok):
+        """Flank scan → BC-UMI slice → whitelist match for one row set.
+        Row count is whatever the caller compacted to; returns
+        (hit, bc, score, status, umi) for those rows."""
+        Rr = read_idx.shape[0]
+        rlen = lengths[read_idx]
         window, wlen, wstart, ed, gs, ge = _scan_flanks(
             codes, lengths, read_idx, strand, qstart, qend,
             anchor=_anchor_code(f.anchor), lo=f.lo, hi=f.hi,
@@ -168,7 +160,7 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
                 sub_end = jnp.minimum(sub_end, rlen)
             sub_len = jnp.maximum(sub_end - sub_strt, 0)
             acc_sub = sub_len > sub.min_len if sub.min_len else \
-                jnp.ones((R,), bool)
+                jnp.ones((Rr,), bool)
             if spec.subread_requires == "qlen100":
                 acc_sub = acc_sub & ((s_qend - s_qstart) > 100)
             hit = hit & acc_sub
@@ -205,42 +197,59 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
             vals = jnp.take_along_axis(window, jnp.clip(src, 0, Wmax - 1),
                                        axis=1)
         cand = jnp.where(jj < blen[:, None], vals, PAD)
+        bc, score, status, umi, _ = matcher.match_device(
+            cand.astype(jnp.int8), blen)
+        return hit, bc, score, status, umi
 
-        # hit compaction: the whitelist match is the step's dominant cost
-        # and most of the R = B*S slots carry no adapter hit (second chain
-        # slots are mostly empty). Sort hits to the front and match a fixed
-        # M = 0.75*R budget (mean 1.5 adapter hits per read; typical is
-        # <1); on adapter-rich batches (concatemers, README.md:21) a
-        # conditional SECOND pass matches the spill slots, so every
-        # adapter hit is always matched — n_deferred is 0 by construction
-        # and kept only as an invariant for callers to assert.
-        # budget = one hit per READ (M = B = R/S): real libraries average
-        # <1 adapter hit/read, and the spill pass exactly covers the rest
+    @jax.jit
+    def step(codes, lengths):
+        B, L = codes.shape
+        chain_out = seed_and_chain(codes, lengths, *idx_arrays,
+                                   max_minimizers=max_minimizers)
+        rec = _device_records(chain_out, lengths, S)
+        R = B * S
+        read_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
+        strand = rec["strand"].reshape(R)
+        qstart = rec["qstart"].reshape(R)
+        qend = rec["qend"].reshape(R)
+        ok = rec["ok"].reshape(R)
+
+        # ok-slot compaction BEFORE the scan: most of the R = B*S slots
+        # carry no chain (second slots are mostly empty) and the flank
+        # scan + whitelist match dominate the step, so both run on a
+        # fixed M = R/S = B budget (real libraries average ~1 chain and
+        # <1 adapter hit per read). On chain-rich batches (concatemers,
+        # README.md:21) a conditional SECOND pass covers the spilled
+        # slots, so every slot is always processed — n_deferred is 0 by
+        # construction and kept only as an invariant for callers.
         M = max(1, R // S)
-        sort_key = jnp.where(hit, 0, 1).astype(jnp.int32)
+        sort_key = jnp.where(ok, 0, 1).astype(jnp.int32)
         _, perm = jax.lax.sort(
             (sort_key, jnp.arange(R, dtype=jnp.int32)), num_keys=1)
         sel = perm[:M]
         spill = perm[M:]
-        bc_m, score_m, status_m, umi_m, _ = matcher.match_device(
-            cand[sel].astype(jnp.int8), blen[sel])
-        n_spill = jnp.sum(hit[spill])
+        hit_m, bc_m, score_m, status_m, umi_m = scan_and_match(
+            codes, lengths, read_idx[sel], strand[sel], qstart[sel],
+            qend[sel], ok[sel])
+        n_spill = jnp.sum(ok[spill])
         R2 = R - M
 
         def run_spill(_):
-            b, s, st, u, _q = matcher.match_device(
-                cand[spill].astype(jnp.int8), blen[spill])
-            return b, s, st, u
+            return scan_and_match(codes, lengths, read_idx[spill],
+                                  strand[spill], qstart[spill],
+                                  qend[spill], ok[spill])
 
         def no_spill(_):
-            return (jnp.full((R2,), -1, jnp.int32),
+            return (jnp.zeros((R2,), bool),
+                    jnp.full((R2,), -1, jnp.int32),
                     jnp.full((R2,), -(1 << 20), jnp.int32),
                     jnp.full((R2,), 5, jnp.int32),
-                    jnp.full((R2, umi_m.shape[1]), PAD, umi_m.dtype))
+                    jnp.full((R2, umi_len), PAD, umi_m.dtype))
 
-        bc_s, score_s, status_s, umi_s = jax.lax.cond(
+        hit_s, bc_s, score_s, status_s, umi_s = jax.lax.cond(
             n_spill > 0, run_spill, no_spill, operand=None)
 
+        hit = jnp.zeros((R,), bool).at[sel].set(hit_m).at[spill].set(hit_s)
         bc_idx = jnp.full((R,), -1, jnp.int32).at[sel].set(bc_m) \
             .at[spill].set(bc_s)
         score = jnp.full((R,), -(1 << 20), jnp.int32).at[sel].set(score_m) \
@@ -251,7 +260,8 @@ def build_device_step(spec: ChemistrySpec, index: PanelIndex,
             .at[sel].set(umi_m).at[spill].set(umi_s)
 
         status = jnp.where(hit, status, 5)          # 5 = no adapter
-        n_deferred = jnp.sum(hit) - jnp.sum(hit[sel]) - jnp.sum(hit[spill])
+        n_deferred = jnp.sum(ok) - jnp.sum(ok[sel]) - \
+            jnp.where(n_spill > 0, jnp.sum(ok[spill]), 0)
         accepted = status == ACCEPT
         counts = jnp.zeros((n_bc,), jnp.int32).at[
             jnp.clip(bc_idx, 0, n_bc - 1)].add(accepted.astype(jnp.int32))

@@ -117,3 +117,32 @@ def test_multimap_construction(matcher):
     mid[pos[0]] = bcs[b][pos[0]]  # 1 mismatch to each
     r = _cands(matcher, [ADAPTER + "".join(mid) + "GGGGGAAAAA" + "TTTCTTATAT"])
     assert r["status"][0] == MULTIMAP
+
+
+def test_exact_window_star_semantics(matcher):
+    """Whole-candidate exact pass (round-4 match_parity finding): STAR
+    aligns the full candidate against the full padded row, so a perfect
+    barcode ANYWHERE the N pads can absorb is a score-16 locus — a
+    second one (either strand) is a multimap drop, and one outside the
+    screen's jitter window must still be found."""
+    from nanoranger_tpu.io.encode import revcomp_str
+    bcs = matcher.barcodes
+    b0, b1 = bcs[100], bcs[20000 - 1]
+
+    # 1) clean single barcode → ACCEPT (baseline)
+    clean = ADAPTER + b0 + "GGGGGAAAAA" + "TTTCTTATAT"
+    # 2) a second whitelist barcode right after the first (window start
+    #    30 = pad_left, still absorbable by the N pads) → fwd tie
+    two = ADAPTER + b0 + b1 + "AAAA"
+    # 3) revcomp of another whitelist barcode in the same feasible
+    #    position → rc tie with the perfect forward hit
+    rc2 = ADAPTER + b0 + revcomp_str(b1) + "AAAA"
+    # 4) barcode shifted 10 nt past the nominal offset — beyond the
+    #    screen's jitter (8) but within pad_left: exact pass must accept
+    far = ADAPTER + "ACGTACGTAC" + b0 + "GGGGGAAAAA"
+    r = _cands(matcher, [clean, two, rc2, far])
+    assert r["status"][0] == ACCEPT and r["bc_idx"][0] == 100
+    assert r["status"][1] == MULTIMAP
+    assert r["status"][2] == MULTIMAP
+    assert r["status"][3] == ACCEPT and r["bc_idx"][3] == 100
+    assert r["score"][3] == 16

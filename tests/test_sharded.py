@@ -50,11 +50,7 @@ def test_sharded_match_equals_single_device(rng, mesh_shape):
     swl = ShardedWhitelist(wl, spec, n_wl)
     arrs = swl.device_arrays(mesh)
     match_fn = build_sharded_match(swl, mesh)
-    bc, score, status, umi, counts = match_fn(
-        q, qlen, arrs["refs"], arrs["rc_refs"], arrs["n_real"],
-        arrs["offsets"], arrs["p_planes1"], arrs["p_planes2"],
-        arrs["p_pair"], arrs["r_planes1"], arrs["r_planes2"],
-        arrs["r_pair"])
+    bc, score, status, umi, counts = match_fn(q, qlen, arrs)
     bc, score, status, umi = map(np.asarray, (bc, score, status, umi))
 
     np.testing.assert_array_equal(status, ref["status"])
