@@ -206,3 +206,64 @@ def product_screen(q, qlen, planes1, planes2, pair, nominal, jitter,
     top_bc = jnp.take_along_axis(cand, topi, axis=1)
     top_bc = jnp.where(topc >= 0, top_bc, -1)
     return top_bc, topc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lo", "hi", "q_delta2", "l1", "l2",
+                                    "top_w", "min_joint"))
+def product_screen_joint(q, qlen, planes1, planes2, pair, lo, hi,
+                         q_delta2, l1, l2, top_w=8, min_joint=None):
+    """Wide-offset screen: rank half-PAIRS jointly per offset.
+
+    The per-side top-T of product_screen breaks down over a wide offset
+    range: spurious full-match halves at random offsets crowd out a true
+    barcode's 7/8-match half (observed when naively widening jitter).
+    Here each offset o in [lo, hi] contributes its top-2 halves PER SIDE
+    at that exact offset, joined through the pair table — a spurious
+    joint hit needs BOTH halves matching at a consistent spacing AND a
+    real barcode pairing them, which is rare. A running top_w over
+    offsets yields candidates for the exact DP rescorer.
+
+    Catches >= as_min alignments ANYWHERE the N pads allow (round-4
+    match_parity: accepted-vs-dropped flips from 14/15-scoring loci
+    outside the nominal +-jitter window). min_joint (default
+    l1+l2-2 = 14 ungapped matches) filters noise. Indel-containing hits
+    far from nominal keep ungapped halves >= min_joint - 2 only
+    sometimes — the remaining recall gap is measured, not hidden
+    (tests/goldens/match_parity.json)."""
+    B, Lq = q.shape
+    if min_joint is None:
+        min_joint = l1 + l2 - 2
+    pad = jnp.pad(q, ((0, 0), (0, hi + q_delta2 + l2 + 8)),
+                  constant_values=5)
+    a4 = jnp.arange(4, dtype=q.dtype)
+
+    def profile(o, l, planes):
+        w = jax.lax.dynamic_slice_in_dim(pad, o, l, axis=1)
+        oh = (w[:, :, None] == a4[None, None, :]).reshape(B, 4 * l)
+        return jax.lax.dot_general(oh.astype(jnp.int8), planes,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    def step(carry, o):
+        best_v, best_bc = carry
+        m1 = profile(o, l1, planes1)
+        m2 = profile(o + q_delta2, l2, planes2)
+        v1, i1 = jax.lax.top_k(m1, 2)
+        v2, i2 = jax.lax.top_k(m2, 2)
+        cb = pair[i1[:, :, None], i2[:, None, :]]          # (B, 2, 2)
+        jv = v1[:, :, None] + v2[:, None, :]
+        feasible = (o + q_delta2 + l2) <= qlen             # (B,)
+        jv = jnp.where((cb >= 0) & feasible[:, None, None]
+                       & (jv >= min_joint), jv, -1)
+        cat_v = jnp.concatenate([best_v, jv.reshape(B, 4)], axis=1)
+        cat_bc = jnp.concatenate([best_bc, cb.reshape(B, 4)], axis=1)
+        sv, sbc = jax.lax.sort((-cat_v, cat_bc), dimension=1, num_keys=1)
+        return ((-sv[:, :top_w]), sbc[:, :top_w]), None
+
+    init = (jnp.full((B, top_w), -1, jnp.int32),
+            jnp.full((B, top_w), -1, jnp.int32))
+    (best_v, best_bc), _ = jax.lax.scan(
+        step, init, jnp.arange(lo, hi + 1, dtype=jnp.int32))
+    best_bc = jnp.where(best_v >= 0, best_bc, -1)
+    return best_bc, best_v

@@ -174,7 +174,7 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
     whitelist over 'wl'. Screens with the product screen (same as the
     single-chip matcher) and runs the reverse-strand pass (all-gathered
     rc best; STAR both-strand semantics)."""
-    from ..ops.product_screen import product_screen
+    from ..ops.product_screen import product_screen, product_screen_joint
     from ..stages.barcode import RC_BEST
     spec = swl.spec
     plan, top_k = swl.plan, swl.top_k
@@ -195,10 +195,17 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
         r_planes1, r_planes2, r_pair = a["r_planes1"], a["r_planes2"], \
             a["r_pair"]
         B = q.shape[0]
-        K = max(2 * top_k, 16)
         cand, cheap = product_screen(q, qlen, p_planes1, p_planes2, p_pair,
                                      plan.nominal, jitter, qd2, l1, l2,
-                                     top_t=max(top_k, 8), top_k=K)
+                                     top_t=max(top_k, 8),
+                                     top_k=max(2 * top_k, 16))
+        # wide-offset joint pass (see ops/product_screen_joint): near-
+        # perfect loci far from the nominal offset
+        wbc, _ = product_screen_joint(q, qlen, p_planes1, p_planes2,
+                                      p_pair, 0, spec.pad_left, qd2,
+                                      l1, l2)
+        cand = jnp.concatenate([cand, wbc], axis=1)
+        K = cand.shape[1]
         cand = jnp.where(cand < n_real, cand, -1)        # mask shard padding
         has = cand >= 0
         ref_pairs = refs[jnp.clip(cand, 0, refs.shape[0] - 1)].reshape(B * K, -1)
@@ -223,6 +230,10 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
         cand_r, _ = product_screen(q, qlen, r_planes1, r_planes2, r_pair,
                                    rc_nominal, jitter, rqd2, rl1, rl2,
                                    top_t=8, top_k=8)
+        wbc_r, _ = product_screen_joint(q, qlen, r_planes1, r_planes2,
+                                        r_pair, 0, spec.pad_right, rqd2,
+                                        rl1, rl2)
+        cand_r = jnp.concatenate([cand_r, wbc_r], axis=1)
         cand_r = jnp.where(cand_r < n_real, cand_r, -1)
         Kr = cand_r.shape[1]
         has_r = cand_r >= 0

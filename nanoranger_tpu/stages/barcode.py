@@ -173,6 +173,21 @@ def apply_exact(bc, score, status, umi, q, qlen, eany, emulti, ebc, eqpos,
     return bc, score, status, umi
 
 
+def screen_jitters(spec: BarcodeMatchSpec, floor: int = 8):
+    """Offset jitters that make the profile screens cover EVERY N-pad-
+    feasible start position, not just the neighborhood of the nominal
+    offset: a score >= as_min alignment can sit anywhere in
+    [0, pad_left] (forward) / [0, pad_right] (reverse) — round-4
+    match_parity showed accepted-vs-multimap flips from 14/15-scoring
+    loci outside the old +-8 window. Symmetric jitter with the
+    out-of-range offsets masked by the screens' own bounds checks."""
+    fwd = max(floor, spec.bc_query_offset,
+              spec.pad_left - spec.bc_query_offset)
+    rc = max(floor, spec.rc_query_offset,
+             spec.pad_right - spec.rc_query_offset)
+    return fwd, rc
+
+
 def rc_half_layout(spec: BarcodeMatchSpec):
     """Seed-half layout of the REVCOMP'd barcode structure (the bc, or
     bc8+linker+bc6 for slideseq — revcomp'd structure = rc(bc6) + rc(linker)
@@ -185,13 +200,21 @@ def rc_half_layout(spec: BarcodeMatchSpec):
 
 @functools.partial(jax.jit,
                    static_argnames=("nominal", "jitter", "q_delta2", "l1",
-                                    "l2", "c_rc", "pad_left", "full_len"))
+                                    "l2", "c_rc", "wide_hi",
+                                    "pad_left", "full_len"))
 def _rc_best_product(q, qlen, refs_rc, rlen_scalar, planes1, planes2, pair,
-                     nominal, jitter, q_delta2, l1, l2, c_rc,
+                     nominal, jitter, q_delta2, l1, l2, c_rc, wide_hi=None,
                      pad_left=None, full_len=None):
-    from ..ops.product_screen import product_screen
+    from ..ops.product_screen import (product_screen,
+                                      product_screen_joint)
     cand, _ = product_screen(q, qlen, planes1, planes2, pair, nominal,
                              jitter, q_delta2, l1, l2, top_t=8, top_k=8)
+    if wide_hi is not None:
+        # wide-offset joint pass: >= as_min rc alignments anywhere the N
+        # pads allow (ties with the forward best multimap-drop the read)
+        wbc, _ = product_screen_joint(q, qlen, planes1, planes2, pair,
+                                      0, wide_hi, q_delta2, l1, l2)
+        cand = jnp.concatenate([cand, wbc], axis=1)
     return _best_score_only(q, qlen, cand, refs_rc, rlen_scalar, c_rc,
                             pad_left, full_len)
 
@@ -286,23 +309,32 @@ def _match_jit(q, qlen, refs, rlen_scalar,
 @functools.partial(jax.jit,
                    static_argnames=("nominal", "jitter", "q_delta2", "l1",
                                     "l2", "umi_ref_offset", "umi_len",
-                                    "as_min", "top_k", "pad_left",
-                                    "full_len"))
+                                    "as_min", "top_k", "wide_hi",
+                                    "pad_left", "full_len"))
 def _match_jit_product(q, qlen, refs, rlen_scalar, planes1, planes2, pair,
                        nominal, jitter, q_delta2, l1, l2,
                        umi_ref_offset, umi_len, as_min, top_k,
-                       pad_left=None, full_len=None):
+                       wide_hi=None, pad_left=None, full_len=None):
     """Product-screen variant (10x-style combinatorial whitelists —
     ops/product_screen.py)."""
-    from ..ops.product_screen import product_screen
+    from ..ops.product_screen import product_screen, product_screen_joint
     # indel-damaged halves rank low in ungapped profiles, so rescore a
     # wider candidate set and let the exact DP arbitrate
     cand, _ = product_screen(q, qlen, planes1, planes2, pair, nominal,
                              jitter, q_delta2, l1, l2,
                              top_t=max(top_k, 8), top_k=max(2 * top_k, 16))
+    K = max(2 * top_k, 16)
+    if wide_hi is not None:
+        # wide-offset joint pass: near-perfect loci far from the nominal
+        # offset (the per-side top-T cannot rank them — see
+        # product_screen_joint)
+        wbc, _ = product_screen_joint(q, qlen, planes1, planes2, pair,
+                                      0, wide_hi, q_delta2, l1, l2)
+        cand = jnp.concatenate([cand, wbc], axis=1)
+        K = K + wbc.shape[1]
     return _select_from_candidates(
         q, qlen, cand, refs, rlen_scalar, umi_ref_offset, umi_len, as_min,
-        max(2 * top_k, 16), pad_left, full_len)
+        K, pad_left, full_len)
 
 
 class BarcodeMatcher:
@@ -329,6 +361,7 @@ class BarcodeMatcher:
         self.refs_band = jnp.asarray(
             refs_np[:, spec.pad_left:spec.umi_ref_offset + 1])
         self.plan = plan_for(spec, spec.bc_query_offset, jitter)
+        self.fwd_jitter, self.rc_jitter = screen_jitters(spec, jitter)
         self.top_k = top_k
         self.jitter = jitter
         self.product = None if force_bucket else ProductTable.build(
@@ -444,6 +477,7 @@ class BarcodeMatcher:
                 t["rc_planes1"], t["rc_planes2"], t["rc_pair"],
                 nominal=self.rc_plan.nominal, jitter=self.jitter,
                 q_delta2=p.q_delta2, l1=p.l1, l2=p.l2, c_rc=self.c_rc,
+                wide_hi=self.spec.pad_right,
                 pad_left=pad_left, full_len=full_len)
         return _rc_best_bucket(
             q, qlen, t["rc_refs"], jnp.int32(self.ref_len),
@@ -466,7 +500,8 @@ class BarcodeMatcher:
                 q_delta2=p.q_delta2, l1=p.l1, l2=p.l2,
                 umi_ref_offset=self.spec.umi_ref_offset,
                 umi_len=self.spec.umi_len, as_min=self.spec.as_min,
-                top_k=self.top_k, pad_left=pad_left, full_len=full_len)
+                top_k=self.top_k, wide_hi=self.spec.pad_left,
+                pad_left=pad_left, full_len=full_len)
         else:
             bc, score, status, umi, qpos = _match_jit(
                 q, qlen, t["refs"], jnp.int32(self.ref_len), *t["tables"],

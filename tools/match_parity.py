@@ -289,6 +289,16 @@ def classify(e_status, e_bc, e_score, e_umi, a_status, a_bc, a_score,
     if (e_status == a_status and
             (e_status != ACCEPT or (e_bc == a_bc and e_umi == a_umi))):
         return "ok"
+    DROPPED = (MULTIMAP, NO_CAND, RC_BEST)
+    if e_status in DROPPED and a_status in DROPPED:
+        # read dropped either way AND invisible to every artifact (the
+        # score histogram shows only ACCEPT/LOW_AS/BAD_UMI rows,
+        # utils.py:728-735) — a pure status-label difference
+        return "both_dropped_status_differs"
+    if e_status != ACCEPT and a_status != ACCEPT:
+        # dropped either way; LOW_AS/BAD_UMI rows differ only in the
+        # score-histogram artifact
+        return "dropped_histogram_only"
     if (a_status in (RC_BEST, MULTIMAP)) and e_status in (ACCEPT, LOW_AS,
                                                           BAD_UMI):
         # exhaustive rc/tie beats what the screened pass saw
