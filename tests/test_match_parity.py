@@ -39,10 +39,13 @@ def test_full_match_parity():
         n = s["n_candidates"]
         label_only = s["classes"].get("both_dropped_status_differs", 0)
         assert (s["agree"] + label_only) / n >= 0.95, (name, s["classes"])
-        # accepted-barcode flips are never allowed: each divergence must
-        # be a rejection-direction change, not a different barcode
+        # when both accept, a different barcode is only legitimate as a
+        # screen-recall case: the arbiter's barcode must score STRICTLY
+        # higher (e.g. a shifted whitelist near-pair where the exhaustive
+        # search finds a 15 the screen missed). An equal-score flip would
+        # be a tie-logic bug — never allowed.
         for d in s["divergences"]:
-            e_bc, _, e_status, _ = d["engine"]
-            a_bc, _, a_status, _ = d["arbiter"]
-            if e_status == 0 and a_status == 0:
-                assert e_bc == a_bc, d
+            e_bc, e_score, e_status, _ = d["engine"]
+            a_bc, a_score, a_status, _ = d["arbiter"]
+            if e_status == 0 and a_status == 0 and e_bc != a_bc:
+                assert a_score > e_score, d
