@@ -210,9 +210,10 @@ def product_screen(q, qlen, planes1, planes2, pair, nominal, jitter,
 
 @functools.partial(jax.jit,
                    static_argnames=("lo", "hi", "q_delta2", "l1", "l2",
-                                    "top_w", "min_joint"))
+                                    "top_w", "min_joint", "chunk"))
 def product_screen_joint(q, qlen, planes1, planes2, pair, lo, hi,
-                         q_delta2, l1, l2, top_w=8, min_joint=None):
+                         q_delta2, l1, l2, top_w=8, min_joint=None,
+                         chunk=16):
     """Wide-offset screen: rank half-PAIRS jointly per offset.
 
     The per-side top-T of product_screen breaks down over a wide offset
@@ -221,49 +222,59 @@ def product_screen_joint(q, qlen, planes1, planes2, pair, lo, hi,
     Here each offset o in [lo, hi] contributes its top-2 halves PER SIDE
     at that exact offset, joined through the pair table — a spurious
     joint hit needs BOTH halves matching at a consistent spacing AND a
-    real barcode pairing them, which is rare. A running top_w over
-    offsets yields candidates for the exact DP rescorer.
+    real barcode pairing them, which is rare. The global top_w pairs
+    across offsets feed the exact DP rescorer.
 
     Catches >= as_min alignments ANYWHERE the N pads allow (round-4
     match_parity: accepted-vs-dropped flips from 14/15-scoring loci
-    outside the nominal +-jitter window). min_joint (default
-    l1+l2-2 = 14 ungapped matches) filters noise. Indel-containing hits
-    far from nominal keep ungapped halves >= min_joint - 2 only
-    sometimes — the remaining recall gap is measured, not hidden
-    (tests/goldens/match_parity.json)."""
+    outside the nominal +-jitter window). min_joint (default l1+l2-2
+    = 14 ungapped matches) filters noise. Offsets process in chunked
+    BATCHED matmuls — a per-offset lax.scan was latency-bound (~1 ms x
+    70 sequential steps halved the fused-step throughput)."""
     B, Lq = q.shape
     if min_joint is None:
         min_joint = l1 + l2 - 2
-    pad = jnp.pad(q, ((0, 0), (0, hi + q_delta2 + l2 + 8)),
-                  constant_values=5)
-    a4 = jnp.arange(4, dtype=q.dtype)
+    offsets = list(range(lo, hi + 1))
+    all_v, all_bc = [], []
+    for cs in range(0, len(offsets), chunk):
+        offs = offsets[cs:cs + chunk]
+        O = len(offs)
+        oh1 = _query_onehot(q, offs, l1)                   # (B, O, 4*l1)
+        m1 = jax.lax.dot_general(
+            oh1.reshape(B * O, -1), planes1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (B*O, n1)
+        oh2 = _query_onehot(q, [o + q_delta2 for o in offs], l2)
+        m2 = jax.lax.dot_general(
+            oh2.reshape(B * O, -1), planes2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        # top-2 via two max/argmax reductions: lax.top_k over (B*O, n)
+        # rows is sort-based and dominated this screen's runtime
+        def top2(m):
+            v_a = jnp.max(m, axis=1)
+            i_a = jnp.argmax(m, axis=1).astype(jnp.int32)
+            masked = jnp.where(
+                jnp.arange(m.shape[1], dtype=jnp.int32)[None, :]
+                == i_a[:, None], -(1 << 20), m)
+            v_b = jnp.max(masked, axis=1)
+            i_b = jnp.argmax(masked, axis=1).astype(jnp.int32)
+            return (jnp.stack([v_a, v_b], axis=1),
+                    jnp.stack([i_a, i_b], axis=1))
 
-    def profile(o, l, planes):
-        w = jax.lax.dynamic_slice_in_dim(pad, o, l, axis=1)
-        oh = (w[:, :, None] == a4[None, None, :]).reshape(B, 4 * l)
-        return jax.lax.dot_general(oh.astype(jnp.int8), planes,
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
-
-    def step(carry, o):
-        best_v, best_bc = carry
-        m1 = profile(o, l1, planes1)
-        m2 = profile(o + q_delta2, l2, planes2)
-        v1, i1 = jax.lax.top_k(m1, 2)
-        v2, i2 = jax.lax.top_k(m2, 2)
-        cb = pair[i1[:, :, None], i2[:, None, :]]          # (B, 2, 2)
+        v1, i1 = top2(m1)                                  # (B*O, 2)
+        v2, i2 = top2(m2)
+        cb = pair[i1[:, :, None], i2[:, None, :]]          # (B*O, 2, 2)
         jv = v1[:, :, None] + v2[:, None, :]
-        feasible = (o + q_delta2 + l2) <= qlen             # (B,)
-        jv = jnp.where((cb >= 0) & feasible[:, None, None]
+        feas = (jnp.asarray(offs, jnp.int32)[None, :] + q_delta2 + l2
+                <= qlen[:, None])                          # (B, O)
+        jv = jnp.where((cb >= 0) & feas.reshape(B * O, 1, 1)
                        & (jv >= min_joint), jv, -1)
-        cat_v = jnp.concatenate([best_v, jv.reshape(B, 4)], axis=1)
-        cat_bc = jnp.concatenate([best_bc, cb.reshape(B, 4)], axis=1)
-        sv, sbc = jax.lax.sort((-cat_v, cat_bc), dimension=1, num_keys=1)
-        return ((-sv[:, :top_w]), sbc[:, :top_w]), None
-
-    init = (jnp.full((B, top_w), -1, jnp.int32),
-            jnp.full((B, top_w), -1, jnp.int32))
-    (best_v, best_bc), _ = jax.lax.scan(
-        step, init, jnp.arange(lo, hi + 1, dtype=jnp.int32))
-    best_bc = jnp.where(best_v >= 0, best_bc, -1)
+        all_v.append(jv.reshape(B, O * 4))
+        all_bc.append(cb.reshape(B, O * 4))
+    cat_v = jnp.concatenate(all_v, axis=1)
+    cat_bc = jnp.concatenate(all_bc, axis=1)
+    # (v desc, bc asc) selection — identical tie-break to the previous
+    # scan-merge implementation, so candidate sets (and goldens) match
+    sv, sbc = jax.lax.sort((-cat_v, cat_bc), dimension=1, num_keys=1)
+    best_v = -sv[:, :top_w]
+    best_bc = jnp.where(best_v >= 0, sbc[:, :top_w], -1)
     return best_bc, best_v
