@@ -1,16 +1,25 @@
-"""Headline benchmark: reads/s through the fused device pipeline step.
+"""Headline benchmark: reads/s through the streamed CLI's fused step.
 
 Workload: real ONT reads (K562/Kasumi1 fusion sample bundled under
-data/samples/) through the full single-chip 5p10XGEX path — minimizer
-seed → chain DP → chain extraction → flank adapter scan → BC-UMI slice →
-full 737K-whitelist match (product screen + exact DP) → per-barcode
-counts — as one jitted computation on the default JAX device (the TPU in
-production; the driver runs this on real hardware).
+data/samples/) through the full single-chip 5p10XGEX CLI — minimizer
+seed → chain DP → exact record extraction → end extension → flank
+adapter scan → BC-UMI slice → full 737K-whitelist match (exact tiers +
+exhaustive DP tail, stages/barcode) → artifacts — via run_pipeline, the
+same code path users run (round-4 VERDICT #10: the bench must measure
+the product, not a bench-only step).  The headline value is the CLI's
+steady-state reads/s (per-batch fused-step throughput after one-time
+program loads); whole-wall numbers ride along in `detail`.
+
+Before the timed run, tools/prewarm.py compiles-and-persists every
+executable the CLI needs (all length buckets + the match program), so
+the measurement reflects the production warm state — a real deployment
+compiles once per kernel revision, then every run/host/process loads in
+seconds (runtime/aot_cache.py).
 
 Baseline: the reference is a 16-core CPU toolchain (minimap2 | python
 decon | STAR barcode matching; SLURM envelopes in BASELINE.md — no
 published reads/s exists). We approximate its throughput by timing THIS
-engine's identical computation on this host's CPU and scaling to 16 cores
+engine's computation on this host's CPU and scaling to 16 cores
 (generous to the reference: its python decon loop is slower per core than
 our vectorized CPU path). The CPU measurement is cached in
 BENCH_BASELINE.json so TPU bench runs stay fast.
@@ -141,25 +150,34 @@ def main():
         with open(BASELINE_FILE) as f:
             baseline = json.load(f).get("cpu_16core_reads_per_s")
 
-    step, codes, lengths, n = _setup()
-    reads_per_s, out = _measure(step, codes, lengths, n, iters=5)
-    # invariant: the spill pass matches every adapter hit (no silent
-    # deferral — stages/device_step.py budget + conditional second pass)
-    assert int(np.asarray(out["n_deferred"])) == 0, "deferred hits in bench"
-    acc = int((np.asarray(out["status"]) == 0).sum())
-    vs = round(reads_per_s / baseline, 2) if baseline else None
+    # untimed: compile-and-persist every executable the CLI needs (warm
+    # production state; a deployment compiles once per kernel revision)
+    t0 = time.time()
+    sys.path.insert(0, REPO)
+    from tools.prewarm import prewarm
+    try:
+        prewarm(batch_size=2048, trns=PANEL, barcodes=WHITELIST,
+                log=lambda *a: print("[prewarm]", *a, file=sys.stderr))
+    except Exception as e:
+        print(f"[prewarm] failed ({e!r}); CLI run compiles inline",
+              file=sys.stderr)
+    prewarm_s = round(time.time() - t0, 1)
+
     try:
         cli = _cli_bench()
-    except Exception as e:                 # CLI bench is additive evidence
+    except Exception as e:
         cli = {"cli_error": repr(e)}
+    steady = cli.get("cli_steady_reads_per_s") or cli.get("cli_reads_per_s")
+    vs = round(steady / baseline, 2) if (baseline and steady) else None
     print(json.dumps({
-        "metric": "5p10XGEX fused pipeline reads/s/chip (K562 sample, 737K "
-                  "whitelist) vs PROXY baseline (this engine's CPU path "
+        "metric": "5p10XGEX streamed-CLI fused-step steady reads/s/chip "
+                  "(K562 sample, full 737K whitelist, exact STAR-parity "
+                  "matcher) vs PROXY baseline (this engine's CPU path "
                   "scaled 2->16 cores; reference publishes no reads/s)",
-        "value": round(reads_per_s, 1),
+        "value": steady,
         "unit": "reads/s",
         "vs_baseline": vs,
-        "detail": {"accepted_last_batch": acc, "batch": B, "padded_len": L,
+        "detail": {"prewarm_s": prewarm_s,
                    "baseline_kind": "proxy_engine_cpu16",
                    "baseline_cpu16_reads_per_s": baseline,
                    "reference_published_reads_per_s": None,

@@ -1,0 +1,308 @@
+"""Exhaustive one-vs-all whitelist scoring — the STAR-parity closer.
+
+Scores ONE BC-UMI candidate against EVERY padded whitelist row exactly
+(same DP semantics as ops/sw.sw_end2end, the STAR-equivalent scorer:
+match +1 / mismatch -1 / linear indels -1 / N neutral / free ref flanks /
+end-to-end query — reference scripts/barcode_align.sh:14-41) and reduces
+to (best score, smallest best index, number of best-scoring rows).
+
+Why this exists: the screened matcher (product screens + top-k rescoring)
+agreed with the exhaustive arbiter on only ~94% of candidates in round 4
+(tests/goldens/match_parity.json): STAR reports ties/near-loci at ANY
+score (--outFilterMultimapNmax 1, both strands), so even the status label
+of a low-scoring read depends on the exact best score over the FULL
+737,280-row whitelist, forward and reverse.  No screen can bound that;
+the candidates without an exact-core resolution are scored exhaustively.
+
+TPU formulation ("flipped" DP): the per-pair kernels (ops/pallas_sw.py)
+put DP state on query rows and iterate ref band columns; one-vs-all flips
+the axes — state is the (core_len+1)-column band profile per whitelist
+row, vectorized over ALL rows, iterating query positions.  N-pad columns
+outside the core have closed forms (same algebra as
+pallas_sw._sw_banded_kernel):
+
+    H_t[0]  = -max(0, t - pad_left)                    (prefix-N entry)
+    H_0[j]  = 0                                        (free ref start)
+    H_t[j]  = max(H_{t-1}[j-1] + s(q_t, core_j),       (diag)
+                  H_{t-1}[j] - 1,                      (query insertion)
+                  H_t[j-1] - 1)                        (core deletion)
+    score   = max( max_j H_qlen[j],                    (end anywhere)
+                   max_t H_t[m] - max(0, (qlen-t) - pad_right) )
+                                                       (suffix-N runout)
+
+The within-row deletion recurrence collapses to a prefix-max of
+(tmp_j + j) - j, so each query step is elementwise work over an
+(m, R) state + one cummax — R rows of the whitelist advance in lockstep
+on the VPU.  rc-strand scoring reuses the same tables:
+score(q, revcomp(row)) == score(revcomp(q), row).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.encode import N as N_CODE
+from ..io.encode import PAD as PAD_CODE
+
+NEG = np.int32(-(1 << 20))
+
+
+def _sub_scores_t(qt, core):
+    """(C,) query chars at step t vs (m, R) core chars -> (C, m, R)."""
+    qt = qt[:, None, None]
+    c = core[None, :, :]
+    neutral = (qt == N_CODE) | (c == N_CODE)
+    s = jnp.where(qt == c, 1, -1)
+    s = jnp.where(neutral, 0, s)
+    return jnp.where((qt == PAD_CODE) | (c == PAD_CODE), -1, s)
+
+
+@functools.partial(jax.jit, static_argnames=("pad_left", "pad_right"))
+def _verify_chunk_xla(q, qlen, core, pad_left, pad_right):
+    """One R-chunk of the one-vs-all DP.
+
+    q: (C, Lq) int8;  qlen: (C,) int32;  core: (m, R) int8.
+    Returns per-(candidate, row) exact scores (C, R) int32.
+    """
+    q = q.astype(jnp.int32)
+    core = core.astype(jnp.int32)
+    C, Lq = q.shape
+    m, R = core.shape
+    jvec = jnp.arange(1, m + 1, dtype=jnp.int32)[None, :, None]
+
+    H0 = jnp.zeros((C, m, R), jnp.int32)
+    # t = 0 contributions: qlen==0 ends now (score 0); suffix-N runout of
+    # the whole query from the free entry at the core/suffix boundary.
+    best_a0 = jnp.where((qlen == 0)[:, None], 0, NEG) * jnp.ones((C, R), jnp.int32)
+    best_b0 = (-jnp.maximum(qlen[:, None] - pad_right, 0)) * \
+        jnp.ones((C, R), jnp.int32)
+
+    def step(carry, t):
+        H, best_a, best_b = carry
+        qt = jax.lax.dynamic_index_in_dim(q, t - 1, axis=1, keepdims=False)
+        s = _sub_scores_t(qt, core)
+        b_prev = -jnp.maximum((t - 1) - pad_left, 0)
+        b_cur = -jnp.maximum(t - pad_left, 0)
+        diag_src = jnp.concatenate(
+            [jnp.full((C, 1, R), b_prev, jnp.int32), H[:, :-1, :]], axis=1)
+        tmp = jnp.maximum(diag_src + s, H - 1)
+        A = jnp.maximum(tmp + jvec, b_cur)
+        H = jax.lax.cummax(A, axis=1) - jvec
+        at_end = (t == qlen)[:, None]
+        hmax = jnp.maximum(jnp.max(H, axis=1), b_cur)
+        best_a = jnp.where(at_end, jnp.maximum(best_a, hmax), best_a)
+        comp = -jnp.maximum((qlen[:, None] - t) - pad_right, 0)
+        best_b = jnp.where(t <= qlen[:, None],
+                           jnp.maximum(best_b, H[:, m - 1, :] + comp), best_b)
+        return (H, best_a, best_b), None
+
+    (H, best_a, best_b), _ = jax.lax.scan(
+        step, (H0, best_a0, best_b0), jnp.arange(1, Lq + 1, dtype=jnp.int32))
+    return jnp.maximum(best_a, best_b)
+
+
+def _reduce_best(sc, r_base, r_valid):
+    """(C, R) scores -> (best, smallest global idx, ties) with rows at
+    local index >= r_valid masked out."""
+    C, R = sc.shape
+    col = jnp.arange(R, dtype=jnp.int32)[None, :]
+    sc = jnp.where(col < r_valid, sc, NEG)
+    best = jnp.max(sc, axis=1)
+    is_best = sc == best[:, None]
+    nbest = jnp.sum(is_best, axis=1).astype(jnp.int32)
+    BIG = jnp.int32(1 << 30)
+    idx = jnp.min(jnp.where(is_best, col + r_base, BIG), axis=1)
+    idx = jnp.where(best > NEG, idx, -1)
+    return best, idx, nbest
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad_left", "pad_right", "r_chunk"))
+def verify_all_xla(q, qlen, coreT, r_valid, pad_left, pad_right,
+                   r_chunk=16384):
+    """Exhaustive (best, smallest-argmax, n_ties) of each candidate vs all
+    whitelist rows.  coreT: (m, R) int8 core columns, transposed; rows at
+    index >= r_valid are padding and never win.  XLA fallback — the Pallas
+    kernel below is the production path on TPU."""
+    m, R = coreT.shape
+    Rp = -(-R // r_chunk) * r_chunk
+    if Rp != R:
+        coreT = jnp.pad(coreT, ((0, 0), (0, Rp - R)),
+                        constant_values=PAD_CODE)
+    C = q.shape[0]
+
+    def body(rs, carry):
+        best, idx, nbest = carry
+        core = jax.lax.dynamic_slice_in_dim(coreT, rs, r_chunk, axis=1)
+        sc = _verify_chunk_xla(q, qlen, core, pad_left, pad_right)
+        b, i, n = _reduce_best(sc, rs, jnp.minimum(r_valid - rs, r_chunk))
+        take = b > best
+        tie = b == best
+        nbest = jnp.where(take, n, jnp.where(tie, nbest + n, nbest))
+        idx = jnp.where(take, i, jnp.where(tie, jnp.minimum(idx, i), idx))
+        best = jnp.maximum(best, b)
+        return best, idx, nbest
+
+    init = (jnp.full((C,), NEG, jnp.int32), jnp.full((C,), -1, jnp.int32),
+            jnp.zeros((C,), jnp.int32))
+    best, idx, nbest = jax.lax.fori_loop(
+        0, Rp // r_chunk, lambda k, c: body(k * r_chunk, c), init)
+    return best, idx, nbest
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel: same DP, state (m, R_blk) resident in vregs, grid
+# (ref_block, candidate) so each whitelist block is reused across the
+# whole candidate sub-batch.  Per-candidate pad capacities arrive as
+# scalars, so forward rows and revcomp'd rows run in one launch.
+
+def _verify_kernel(q_ref, qlen_ref, pl_ref, pr_ref, rv_ref, core_ref,
+                   best_ref, idx_ref, ties_ref, *, m, RB, C, Cp):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rb = pl.program_id(0)
+    core = core_ref[...]                                   # (m, RB) int32
+    r_valid = rv_ref[0, 0]
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (m, RB), 0)
+    jvec = iota0 + 1
+    core_neutral = core == N_CODE
+    core_pad = core == PAD_CODE
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (1, RB), 1) + rb * RB
+    live = gcol < r_valid
+    BIG = jnp.int32(1 << 30)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (Cp, 1), 0)
+
+    def one_candidate(c, accs):
+        acc_b, acc_i, acc_t = accs
+        qlen = qlen_ref[c, 0]
+        PL = pl_ref[c, 0]
+        PR = pr_ref[c, 0]
+        H0 = jnp.zeros((m, RB), jnp.int32)
+        best_a0 = jnp.where(qlen == 0, 0, NEG) * jnp.ones((1, RB),
+                                                          jnp.int32)
+        best_b0 = (-jnp.maximum(qlen - PR, 0)) * jnp.ones((1, RB),
+                                                          jnp.int32)
+
+        def step(t, carry):
+            H, best_a, best_b = carry
+            qt = q_ref[c, t - 1]
+            s = jnp.where(core == qt, 1, -1)
+            s = jnp.where(core_neutral | (qt == N_CODE), 0, s)
+            s = jnp.where(core_pad | (qt == PAD_CODE), -1, s)
+            b_prev = -jnp.maximum((t - 1) - PL, 0)
+            b_cur = -jnp.maximum(t - PL, 0)
+            diag = pltpu.roll(H, 1, axis=0)
+            diag = jnp.where(iota0 == 0, b_prev, diag)
+            A = jnp.maximum(jnp.maximum(diag + s, H - 1) + jvec, b_cur)
+            sh = 1
+            while sh < m:
+                rolled = pltpu.roll(A, sh, axis=0)
+                A = jnp.maximum(A, jnp.where(iota0 >= sh, rolled, NEG))
+                sh *= 2
+            H = A - jvec
+            hmax = jnp.maximum(jnp.max(H, axis=0, keepdims=True), b_cur)
+            best_a = jnp.where(t == qlen, jnp.maximum(best_a, hmax),
+                               best_a)
+            comp = -jnp.maximum((qlen - t) - PR, 0)
+            best_b = jnp.maximum(best_b, H[m - 1:m, :] + comp)
+            return H, best_a, best_b
+
+        _, best_a, best_b = jax.lax.fori_loop(
+            1, qlen + 1, step, (H0, best_a0, best_b0))
+        sc = jnp.where(live, jnp.maximum(best_a, best_b), NEG)
+        bb = jnp.max(sc)
+        is_best = sc == bb
+        nt = jnp.sum(is_best.astype(jnp.int32))
+        ix = jnp.min(jnp.where(is_best, gcol, BIG))
+        sel = ciota == c
+        return (jnp.where(sel, bb, acc_b), jnp.where(sel, ix, acc_i),
+                jnp.where(sel, nt, acc_t))
+
+    z = jnp.zeros((Cp, 1), jnp.int32)
+    acc_b, acc_i, acc_t = jax.lax.fori_loop(0, C, one_candidate,
+                                            (z + NEG, z, z))
+    best_ref[0] = acc_b
+    idx_ref[0] = acc_i
+    ties_ref[0] = acc_t
+
+
+@functools.partial(jax.jit, static_argnames=("RB", "interpret"))
+def _verify_pallas(q, qlen, pl_caps, pr_caps, coreT, r_valid, RB, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, Lq = q.shape
+    Cp = -(-C // 8) * 8
+    m, R = coreT.shape
+    NB = -(-R // RB)
+    if NB * RB != R:
+        coreT = jnp.pad(coreT, ((0, 0), (0, NB * RB - R)),
+                        constant_values=PAD_CODE)
+    grid = (NB,)
+    smem = lambda r, w: pl.BlockSpec((r, w), lambda rb: (0, 0),
+                                     memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        functools.partial(_verify_kernel, m=m, RB=RB, C=C, Cp=Cp),
+        grid=grid,
+        in_specs=[smem(C, Lq), smem(C, 1), smem(C, 1), smem(C, 1),
+                  smem(1, 1),
+                  pl.BlockSpec((m, RB), lambda rb: (0, rb),
+                               memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((NB, Cp, 1), jnp.int32)] * 3,
+        out_specs=[pl.BlockSpec((1, Cp, 1), lambda rb: (rb, 0, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        interpret=interpret,
+    )(q.astype(jnp.int32), qlen.astype(jnp.int32).reshape(C, 1),
+      pl_caps.astype(jnp.int32).reshape(C, 1),
+      pr_caps.astype(jnp.int32).reshape(C, 1),
+      jnp.asarray(r_valid, jnp.int32).reshape(1, 1),
+      coreT.astype(jnp.int32))
+    best_b, idx_b, ties_b = (o[:, :C, 0].T for o in outs)  # (C, NB) each
+    best = jnp.max(best_b, axis=1)
+    sel = best_b == best[:, None]
+    ties = jnp.sum(jnp.where(sel, ties_b, 0), axis=1).astype(jnp.int32)
+    BIG = jnp.int32(1 << 30)
+    idx = jnp.min(jnp.where(sel, idx_b, BIG), axis=1)
+    idx = jnp.where(best > NEG, idx, -1)
+    return best, idx, ties
+
+
+def verify_all(q, qlen, coreT, r_valid, pad_left, pad_right, RB=1024):
+    """Dispatch: Pallas kernel on TPU, XLA scan elsewhere.
+
+    Reverse-strand scoring needs no second set of tables:
+    score(q, revcomp(row)) == score(revcomp(q), row), so rc rows are the
+    revcomp'd query against the SAME coreT with the SAME pads."""
+    C = q.shape[0]
+    if jax.default_backend() != "cpu":
+        pl_caps = jnp.full((C,), pad_left, jnp.int32)
+        pr_caps = jnp.full((C,), pad_right, jnp.int32)
+        return _verify_pallas(q, qlen, pl_caps, pr_caps, coreT, r_valid,
+                              RB, False)
+    return verify_all_xla(q, qlen, coreT, r_valid, pad_left, pad_right)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force numpy oracle (tests): score every row via the validated
+# per-pair reference DP on the full padded row.
+
+def verify_reference(query: np.ndarray, cores: np.ndarray, pad_left: int,
+                     pad_right: int):
+    """cores: (R, m) int8. Returns (best, smallest argmax, n_ties)."""
+    from .sw import sw_end2end_reference
+    R, m = cores.shape
+    scores = np.empty(R, np.int64)
+    for r in range(R):
+        row = np.concatenate([np.full(pad_left, N_CODE, np.int8),
+                              cores[r].astype(np.int8),
+                              np.full(pad_right, N_CODE, np.int8)])
+        scores[r], _, _ = sw_end2end_reference(query, row, pad_left + m)
+    best = int(scores.max()) if R else int(NEG)
+    ties = int((scores == best).sum())
+    idx = int(np.argmax(scores == best)) if R else -1
+    return best, idx, ties

@@ -8,25 +8,28 @@ Pool + cat/JSON merges, SURVEY.md §2.3) with a jax.sharding Mesh:
                 psum over this axis (the reference's JSON dict-sum,
                 utils.py:1419-1431)
   axis 'wl'   — the whitelist (737K/3M barcodes) is partitioned across
-                chips; each shard screens + exact-rescored its local
-                barcodes and the per-read (best, runner-up) summaries
+                chips; each shard resolves its local barcodes EXACTLY
+                (tier hash passes + exhaustive one-vs-all DP,
+                stages/barcode semantics) and the per-read summaries
                 all-gather over 'wl' for the global unique-best decision
                 (the argmax all-reduce of SURVEY.md §2.3)
+
+The merge is exact because every shard-local quantity merges losslessly:
+tier distinct-counts SUM over disjoint shards, DP bests MAX with
+tie-counts summed at the global best and smallest-index winners, and the
+reverse-strand best MAXes.  A sharded run is bit-identical to the
+single-chip matcher (tests/test_sharded.py).
 
 Two composed jitted steps:
   align_step  — data-parallel only (sharding annotations; XLA keeps it
                 local): seed→chain→records→flank scan→BC-UMI candidates
-  match_step  — shard_map over ('data','wl'): local screen/rescore, then
-                all_gather of per-shard summaries and a replicated global
-                select; counts stay 'wl'-sharded with a 'data' psum.
-
-Whitelist shards are padded to equal size; padded slots are masked out
-after the screen (cand < n_real), so no phantom ties can occur.
+  match_step  — shard_map over ('data','wl'): local tiers + local DP,
+                all_gather merges, replicated global verdicts; counts
+                stay 'wl'-sharded with a 'data' psum.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
@@ -36,10 +39,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..chemistry import BarcodeMatchSpec
 from ..io import whitelist as wl
-from ..io.encode import PAD, encode_batch
-from ..ops.seed_screen import plan_for
+from ..io.encode import COMPLEMENT, PAD, encode_batch
 from ..ops.sw import NEG, sw_end2end
-from ..stages.barcode import ACCEPT, BAD_UMI, LOW_AS, MULTIMAP, NO_CAND
+from ..ops.whitelist_verify import verify_all
+from ..stages.barcode import (ACCEPT, combine_verdicts, exact_window_any,
+                              exact_window_hits, ins1_window_any,
+                              ins1_window_hits, revcomp_rows)
+
+BIGI = np.int32(1 << 30)
 
 
 def make_mesh(n_data: int, n_wl: int, devices: Sequence | None = None) -> Mesh:
@@ -50,21 +57,16 @@ def make_mesh(n_data: int, n_wl: int, devices: Sequence | None = None) -> Mesh:
 
 
 class ShardedWhitelist:
-    """Whitelist partitioned over the 'wl' axis: per-shard padded refs,
-    PRODUCT screen tables (ops/product_screen — the same screen the
-    single-chip matcher uses; per-shard tables pad to equal shapes so they
-    stack on the shard axis), and reverse-strand tables (revcomp'd refs +
-    a product table over the revcomp'd barcode structure — STAR searches
-    both strands, scripts/barcode_align.sh:14-35)."""
+    """Whitelist partitioned over the 'wl' axis: per-shard padded refs
+    (winner UMI rescore), core columns (exhaustive DP), and sorted
+    exact/ins1 key tables (tier passes).  Shards pad to equal size;
+    padding rows are masked by n_real / idx<0 sentinels."""
 
     def __init__(self, barcodes: np.ndarray, spec: BarcodeMatchSpec,
-                 n_wl: int, jitter: int = 6, top_k: int = 8):
-        from ..io.encode import COMPLEMENT
-        from ..ops.product_screen import ProductTable
-        from ..stages.barcode import rc_half_layout
+                 n_wl: int, dp_chunk: int = 256, **_compat):
         self.spec = spec
         self.n_wl = n_wl
-        self.top_k = top_k
+        self.dp_chunk = dp_chunk
         n = len(barcodes)
         per = -(-n // n_wl)
         pad_bc = "A" * spec.bc_len
@@ -72,43 +74,25 @@ class ShardedWhitelist:
         self.n_total = n
         self.per_shard = per
         self.barcodes = np.asarray(padded)
-        self.plan = plan_for(spec, spec.bc_query_offset, jitter)
-        s_len, rc_bounds, rc_deltas = rc_half_layout(spec)
-        self.rc_plan = type(self.plan)(s_len, rc_bounds, rc_deltas,
-                                       spec.rc_query_offset, jitter)
-        self.c_rc = spec.pad_right + s_len
-        refs_list, rc_refs_list, prods, rc_prods = [], [], [], []
+        self.core_len = spec.umi_ref_offset - spec.pad_left
+        refs_list, core_list = [], []
         for s in range(n_wl):
             shard = self.barcodes[s * per:(s + 1) * per]
-            codes, _ = encode_batch([b for b in shard], max_len=spec.bc_len)
             refs_np, ref_len = wl.padded_refs(shard, spec)
-            refs_rc_np = COMPLEMENT[refs_np][:, ::-1]
-            struct_rc = refs_rc_np[:, spec.pad_right:spec.pad_right + s_len]
-            prods.append(ProductTable.build(
-                codes.astype(np.int64), self.plan.half_bounds,
-                self.plan.q_deltas))
-            rc_prods.append(ProductTable.build(
-                struct_rc.astype(np.int64), rc_bounds, rc_deltas))
-            assert prods[-1] is not None and rc_prods[-1] is not None, \
-                "per-shard pair table exceeds PAIR_LIMIT — raise wl_shards"
             refs_list.append(refs_np)
-            rc_refs_list.append(refs_rc_np)
+            core_list.append(np.ascontiguousarray(
+                refs_np[:, spec.pad_left:spec.umi_ref_offset].T))
             self.ref_len = int(ref_len)
-        self.refs = np.stack(refs_list)                       # (n_wl, per, Lr)
-        self.rc_refs = np.stack(rc_refs_list)
-        self.prod = self._stack_products(prods)
-        self.rc_prod = self._stack_products(rc_prods)
-        self.prod_meta = (prods[0].q_delta2, prods[0].l1, prods[0].l2)
-        self.rc_meta = (rc_prods[0].q_delta2, rc_prods[0].l1, rc_prods[0].l2)
+        self.refs = np.stack(refs_list)                   # (n_wl, per, Lr)
+        self.coreT = np.stack(core_list)                  # (n_wl, m, per)
         # number of real (non-pad) barcodes per shard
         self.n_real = np.minimum(
             np.maximum(n - per * np.arange(n_wl), 0), per).astype(np.int32)
 
-        # per-shard exact-window key tables (stages/barcode
-        # exact_window_hits): the whole-candidate score-16 pass. Padding
-        # rows get sentinel key 0xFFFFFFFF with idx -1 (never counted);
-        # stable real-first ordering keeps searchsorted-left correct even
-        # if a real barcode shares the sentinel key value.
+        # per-shard sorted key tables (tier passes). Padding rows get
+        # sentinel key 0xFFFFFFFF with idx -1 (never counted); stable
+        # real-first ordering keeps searchsorted-left correct even if a
+        # real barcode shares the sentinel key value.
         self.exact = None
         if not spec.slideseq_linker and spec.bc_len <= 16:
             ek = np.full((n_wl, per), 0xFFFFFFFF, np.uint32)
@@ -135,34 +119,15 @@ class ShardedWhitelist:
             self.exact = {"ex_keys": ek, "ex_idx": ei, "rc_ex_keys": rk,
                           "rc_ex_idx": ri}
 
-    @staticmethod
-    def _stack_products(prods):
-        """Stack per-shard ProductTables, zero/-1-padding distinct-half
-        dimensions to the max so shapes match across shards (padded pair
-        entries are -1 → screened candidates mask out naturally)."""
-        n1 = max(p.n1 for p in prods)
-        n2 = max(p.n2 for p in prods)
-        p1 = np.zeros((len(prods), prods[0].planes1.shape[0], n1), np.int8)
-        p2 = np.zeros((len(prods), prods[0].planes2.shape[0], n2), np.int8)
-        pair = np.full((len(prods), n1, n2), -1, np.int32)
-        for s, p in enumerate(prods):
-            p1[s, :, :p.n1] = p.planes1
-            p2[s, :, :p.n2] = p.planes2
-            pair[s, :p.n1, :p.n2] = p.pair
-        return {"planes1": p1, "planes2": p2, "pair": pair}
-
     def device_arrays(self, mesh: Mesh):
         sh = lambda spec_: NamedSharding(mesh, spec_)
         put = lambda x, s: jax.device_put(jnp.asarray(x), sh(s))
         arrs = dict(refs=put(self.refs, P("wl")),
-                    rc_refs=put(self.rc_refs, P("wl")),
+                    coreT=put(self.coreT, P("wl")),
                     n_real=put(self.n_real.reshape(self.n_wl, 1), P("wl")),
                     offsets=put((np.arange(self.n_wl, dtype=np.int32) *
                                  self.per_shard).reshape(self.n_wl, 1),
                                 P("wl")))
-        for tag, t in (("p", self.prod), ("r", self.rc_prod)):
-            for k, v in t.items():
-                arrs[f"{tag}_{k}"] = put(v, P("wl"))
         if self.exact is not None:
             for k, v in self.exact.items():
                 arrs[k] = put(v, P("wl"))
@@ -171,173 +136,141 @@ class ShardedWhitelist:
 
 def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
     """shard_map'd whitelist matcher: candidates sharded over 'data',
-    whitelist over 'wl'. Screens with the product screen (same as the
-    single-chip matcher) and runs the reverse-strand pass (all-gathered
-    rc best; STAR both-strand semantics)."""
-    from ..ops.product_screen import product_screen, product_screen_joint
-    from ..stages.barcode import RC_BEST
+    whitelist over 'wl'.  Exact tier passes + chunked exhaustive DP per
+    shard, lossless merges over 'wl' (see module docstring)."""
     spec = swl.spec
-    plan, top_k = swl.plan, swl.top_k
-    jitter = plan.jitter
-    c, ulen, as_min = spec.umi_ref_offset, spec.umi_len, spec.as_min
+    per = swl.per_shard
+    m = swl.core_len
     rlen_s = swl.ref_len
-    qd2, l1, l2 = swl.prod_meta
-    rqd2, rl1, rl2 = swl.rc_meta
-    rc_nominal, c_rc = swl.rc_plan.nominal, swl.c_rc
+    ulen = spec.umi_len
 
     def local(q, qlen, arrs):
         # leading wl-shard axis of size 1 inside the shard body
         a = {k: v[0] for k, v in arrs.items()}
-        refs, rc_refs = a["refs"], a["rc_refs"]
-        n_real, offset = a["n_real"], a["offsets"]
-        p_planes1, p_planes2, p_pair = a["p_planes1"], a["p_planes2"], \
-            a["p_pair"]
-        r_planes1, r_planes2, r_pair = a["r_planes1"], a["r_planes2"], \
-            a["r_pair"]
+        refs = a["refs"]
+        n_real = a["n_real"][0]
+        offset = a["offsets"][0]
         B = q.shape[0]
-        cand, cheap = product_screen(q, qlen, p_planes1, p_planes2, p_pair,
-                                     plan.nominal, jitter, qd2, l1, l2,
-                                     top_t=max(top_k, 8),
-                                     top_k=max(2 * top_k, 16))
-        # wide-offset joint pass (see ops/product_screen_joint): near-
-        # perfect loci far from the nominal offset
-        wbc, _ = product_screen_joint(q, qlen, p_planes1, p_planes2,
-                                      p_pair, 0, spec.pad_left, qd2,
-                                      l1, l2)
-        cand = jnp.concatenate([cand, wbc], axis=1)
-        K = cand.shape[1]
-        cand = jnp.where(cand < n_real, cand, -1)        # mask shard padding
-        has = cand >= 0
-        ref_pairs = refs[jnp.clip(cand, 0, refs.shape[0] - 1)].reshape(B * K, -1)
-        score, qpos, uvalid = sw_end2end(
-            jnp.repeat(q, K, axis=0), jnp.repeat(qlen, K), ref_pairs,
-            jnp.full((B * K,), rlen_s, jnp.int32), c,
-            pad_left=spec.pad_left, full_len=rlen_s)
-        score = jnp.where(has.reshape(-1), score, NEG).reshape(B, K)
-        qpos = qpos.reshape(B, K)
-        uvalid = uvalid.reshape(B, K)
-        bk = jnp.argmax(score, axis=1)
-        b_score = jnp.take_along_axis(score, bk[:, None], 1)[:, 0]
-        b_bc = jnp.take_along_axis(cand, bk[:, None], 1)[:, 0]
-        b_qpos = jnp.take_along_axis(qpos, bk[:, None], 1)[:, 0]
-        b_uval = jnp.take_along_axis(uvalid, bk[:, None], 1)[:, 0]
-        other = (cand != b_bc[:, None]) & has
-        r_score = jnp.max(jnp.where(other, score, NEG), axis=1)
-        any_cand = jnp.any(has, axis=1)
-        b_bc_g = jnp.where(b_bc >= 0, b_bc + offset, -1)
-
-        # ---- local reverse-strand best (same screen on revcomp'd refs)
-        cand_r, _ = product_screen(q, qlen, r_planes1, r_planes2, r_pair,
-                                   rc_nominal, jitter, rqd2, rl1, rl2,
-                                   top_t=8, top_k=8)
-        wbc_r, _ = product_screen_joint(q, qlen, r_planes1, r_planes2,
-                                        r_pair, 0, spec.pad_right, rqd2,
-                                        rl1, rl2)
-        cand_r = jnp.concatenate([cand_r, wbc_r], axis=1)
-        cand_r = jnp.where(cand_r < n_real, cand_r, -1)
-        Kr = cand_r.shape[1]
-        has_r = cand_r >= 0
-        rr = rc_refs[jnp.clip(cand_r, 0, rc_refs.shape[0] - 1)] \
-            .reshape(B * Kr, -1)
-        score_r, _, _ = sw_end2end(
-            jnp.repeat(q, Kr, axis=0), jnp.repeat(qlen, Kr), rr,
-            jnp.full((B * Kr,), rlen_s, jnp.int32), c_rc,
-            pad_left=spec.pad_right, full_len=rlen_s)
-        rc_local = jnp.max(jnp.where(has_r.reshape(-1), score_r,
-                                     NEG).reshape(B, Kr), axis=1)
-
-        # ---- global combine over 'wl' ----
         g = lambda x: jax.lax.all_gather(x, "wl")        # (n_wl, B)
-        scores_g = g(b_score)
-        bcs_g = g(b_bc_g)
-        runners_g = g(r_score)
-        qpos_g = g(b_qpos)
-        uval_g = g(b_uval)
-        any_g = jnp.any(g(any_cand), axis=0)
-        win = jnp.argmax(scores_g, axis=0)               # (B,)
-        take = lambda x: jnp.take_along_axis(x, win[None, :], axis=0)[0]
-        best_score = take(scores_g)
-        best_bc = take(bcs_g)
-        best_qpos = take(qpos_g)
-        best_uval = take(uval_g)
-        # runner-up: best of all shard-runners and non-winning shard bests
-        nonwin = jnp.arange(scores_g.shape[0])[:, None] != win[None, :]
-        runner = jnp.maximum(jnp.max(runners_g, axis=0),
-                             jnp.max(jnp.where(nonwin, scores_g, NEG), axis=0))
 
-        multimap = any_g & (runner == best_score) & (best_score > NEG)
-        low = any_g & ~multimap & (best_score < as_min)
-        umi_ok = best_uval & (best_qpos + ulen <= qlen) & (best_qpos >= 0)
-        status = jnp.full((B,), NO_CAND, jnp.int32)
-        status = jnp.where(any_g, LOW_AS, status)
-        status = jnp.where(any_g & ~low & multimap, MULTIMAP, status)
-        okk = any_g & ~low & ~multimap
-        status = jnp.where(okk & umi_ok, ACCEPT,
-                           jnp.where(okk, BAD_UMI, status))
+        def min_with_payload(val_l, pay_l):
+            """Global min of val (with +offset ids) and the payload from
+            the owning shard."""
+            vg = g(val_l)
+            win = jnp.argmin(vg, axis=0)
+            v = jnp.take_along_axis(vg, win[None, :], axis=0)[0]
+            p = jnp.take_along_axis(g(pay_l), win[None, :], axis=0)[0]
+            return v, p
 
-        # ---- whole-candidate exact pass (stages/barcode
-        # exact_window_hits): shard-local distinct counts SUM across the
-        # disjoint whitelist shards; the unique exact barcode (global min
-        # id) overrides lower-scoring screened verdicts and second
-        # score-16 loci multimap-drop — same semantics as the single-chip
-        # matcher's apply_exact
-        rc_exact_any = None
+        # ---- tier passes (global merge: distinct counts SUM over
+        # disjoint shards; smallest global id wins; its eqpos rides along)
+        tiers = None
         if "ex_keys" in arrs:
-            from ..stages.barcode import (exact_window_any,
-                                          exact_window_hits)
             bl = spec.bc_len
-            nd_l, ebc_l, eqpos_l = exact_window_hits(
+            nd16_l, ebc16_l, eq16_l = exact_window_hits(
                 q, qlen, a["ex_keys"], a["ex_idx"], bl,
                 spec.pad_left, spec.pad_right)
-            BIGE = jnp.int32(1 << 30)
-            ebc_lg = jnp.where(ebc_l >= 0, ebc_l + offset, BIGE)
-            nd = jnp.sum(g(nd_l), axis=0)
-            ebc_g2 = g(ebc_lg)
-            win_e = jnp.argmin(ebc_g2, axis=0)
-            ebc = jnp.take_along_axis(ebc_g2, win_e[None, :], axis=0)[0]
-            eqpos = jnp.take_along_axis(g(eqpos_l), win_e[None, :],
-                                        axis=0)[0]
-            eany = nd >= 1
-            s16 = jnp.int32(bl)
-            tie = (nd >= 2) | (eany & (best_score == s16) & (best_bc != ebc))
-            better = eany & (best_score < s16)
-            best_score = jnp.where(eany, s16, best_score)
-            best_bc = jnp.where(better, ebc, best_bc)
-            u_ok_e = (eqpos >= 0) & (eqpos + ulen <= qlen)
-            status = jnp.where(better,
-                               jnp.where(u_ok_e, ACCEPT, BAD_UMI), status)
-            best_qpos = jnp.where(better, eqpos, best_qpos)
-            status = jnp.where(tie, MULTIMAP, status)
-            rc_exact_any = exact_window_any(
-                q, qlen, a["rc_ex_keys"], bl, spec.pad_right,
-                spec.pad_left, idx_sorted=a["rc_ex_idx"])
+            nd15_l, ebc15_l, eq15_l = ins1_window_hits(
+                q, qlen, a["ex_keys"], a["ex_idx"], bl,
+                spec.pad_left, spec.pad_right)
+            rc16_l = exact_window_any(q, qlen, a["rc_ex_keys"], bl,
+                                      spec.pad_right, spec.pad_left,
+                                      idx_sorted=a["rc_ex_idx"])
+            rc15_l = ins1_window_any(q, qlen, a["rc_ex_keys"], bl,
+                                     spec.pad_right, spec.pad_left,
+                                     idx_sorted=a["rc_ex_idx"])
+            nd16 = jnp.sum(g(nd16_l), axis=0)
+            nd15 = jnp.sum(g(nd15_l), axis=0)
+            rc16 = jnp.any(g(rc16_l), axis=0)
+            rc15 = jnp.any(g(rc15_l), axis=0)
+            ebc16, eq16 = min_with_payload(
+                jnp.where(ebc16_l >= 0, ebc16_l + offset, BIGI), eq16_l)
+            ebc15, eq15 = min_with_payload(
+                jnp.where(ebc15_l >= 0, ebc15_l + offset, BIGI), eq15_l)
+            tiers = (nd16, ebc16, eq16, nd15, ebc15, eq15, rc16, rc15)
+            tier_hit = (nd16 >= 1) | (nd15 >= 1) | rc16 | rc15
+        else:
+            tier_hit = jnp.zeros((B,), bool)
 
-        # reverse-strand suppression (global rc best over 'wl'):
-        # rc > fwd → STAR flag-16 row the reference rejects; tie → 2 loci
-        rc_best = jnp.max(jax.lax.all_gather(rc_local, "wl"), axis=0)
-        if rc_exact_any is not None:
-            rc_any_g = jnp.any(g(rc_exact_any), axis=0)
-            rc_best = jnp.maximum(
-                rc_best, jnp.where(rc_any_g, jnp.int32(spec.bc_len), NEG))
-        status = jnp.where(rc_best > best_score, RC_BEST, status)
-        status = jnp.where((rc_best == best_score) & (rc_best > NEG),
-                           MULTIMAP, status)
-        off = jnp.arange(ulen, dtype=jnp.int32)[None, :]
-        uidx = jnp.clip(best_qpos[:, None] + off, 0, q.shape[1] - 1)
-        umi = jnp.take_along_axis(q, uidx, axis=1)
-        umi = jnp.where((status == ACCEPT)[:, None], umi, PAD)
+        # ---- exhaustive DP tail, chunked; every shard loops the same
+        # (global) flag set so the in-loop collectives stay aligned
+        M = min(swl.dp_chunk, B)
+        need_dp = (qlen > 0) & ~tier_hit
+        order = jnp.argsort(jnp.where(need_dp, 0, 1).astype(jnp.int32),
+                            stable=True)
+        n_flag = jnp.sum(need_dp.astype(jnp.int32))
+        banded = jax.default_backend() != "cpu"
+        pad_left = spec.pad_left if banded else None
+        full_len = rlen_s if banded else None
+
+        init = (jnp.full((B,), NEG, jnp.int32),
+                jnp.full((B,), -1, jnp.int32),
+                jnp.zeros((B,), jnp.int32),
+                jnp.full((B,), NEG, jnp.int32),
+                jnp.full((B,), -1, jnp.int32),
+                jnp.zeros((B,), bool),
+                jnp.int32(0))
+
+        def cond(state):
+            return state[-1] * M < n_flag
+
+        def body(state):
+            fb, fidx, fties, rb, fqpos, fuval, k = state
+            rows = jax.lax.dynamic_slice(order, (k * M,), (M,))
+            slot_ok = (k * M + jnp.arange(M, dtype=jnp.int32)) < n_flag
+            qs = q[rows]
+            qls = jnp.where(slot_ok, qlen[rows], 0)
+            qrc = revcomp_rows(qs, qls)
+            best, idx, ties = verify_all(
+                jnp.concatenate([qs, qrc], axis=0),
+                jnp.concatenate([qls, qls]), a["coreT"], n_real,
+                spec.pad_left, spec.pad_right)
+            fb_l, rb_l = best[:M], best[M:]
+            fi_lg = jnp.where(idx[:M] >= 0, idx[:M] + offset, BIGI)
+            ft_l = ties[:M]
+            # merge over 'wl': best fwd/rc MAX; ties SUM at the global
+            # best; smallest global index among best shards
+            fbg = g(fb_l)                                # (n_wl, M)
+            fb_c = jnp.max(fbg, axis=0)
+            at_best = fbg == fb_c[None, :]
+            ft_c = jnp.sum(jnp.where(at_best, g(ft_l), 0), axis=0)
+            fi_c = jnp.min(jnp.where(at_best, g(fi_lg), BIGI), axis=0)
+            rb_c = jnp.max(g(rb_l), axis=0)
+            # winner UMI rescore on the owning shard
+            li = fi_c - offset
+            own = (li >= 0) & (li < per)
+            ref_rows = refs[jnp.clip(li, 0, per - 1)]
+            sc2, qp_l, uv_l = sw_end2end(
+                qs, qls, ref_rows, jnp.full((M,), rlen_s, jnp.int32),
+                spec.umi_ref_offset, pad_left=pad_left, full_len=full_len)
+            qp_c = jnp.max(g(jnp.where(own, qp_l, -BIGI)), axis=0)
+            uv_c = jnp.any(g(uv_l & own), axis=0)
+            tgt = jnp.where(slot_ok, rows, B)
+            fb = fb.at[tgt].set(fb_c, mode="drop")
+            fidx = fidx.at[tgt].set(
+                jnp.where(fi_c < BIGI, fi_c, -1), mode="drop")
+            fties = fties.at[tgt].set(ft_c, mode="drop")
+            rb = rb.at[tgt].set(rb_c, mode="drop")
+            fqpos = fqpos.at[tgt].set(jnp.maximum(qp_c, -1), mode="drop")
+            fuval = fuval.at[tgt].set(uv_c, mode="drop")
+            return fb, fidx, fties, rb, fqpos, fuval, k + 1
+
+        fb, fidx, fties, rb, fqpos, fuval, _ = jax.lax.while_loop(
+            cond, body, init)
+
+        bc, score, status, umi, qpos = combine_verdicts(
+            q, qlen, spec, m, tiers,
+            (need_dp, fb, fidx, fties, rb, fqpos, fuval))
 
         # per-shard counts of accepted reads (psum over data axis)
-        local_bc = best_bc - offset
-        mine = (status == ACCEPT) & (local_bc >= 0) & (local_bc < refs.shape[0])
-        counts = jnp.zeros((refs.shape[0],), jnp.int32).at[
-            jnp.clip(local_bc, 0, refs.shape[0] - 1)].add(mine.astype(jnp.int32))
+        local_bc = bc - offset
+        mine = (status == ACCEPT) & (local_bc >= 0) & (local_bc < per)
+        counts = jnp.zeros((per,), jnp.int32).at[
+            jnp.clip(local_bc, 0, per - 1)].add(mine.astype(jnp.int32))
         counts = jax.lax.psum(counts, "data")
-        return best_bc, best_score, status, umi, counts[None, :]
+        return bc, score, status, umi, counts[None, :]
 
-    arr_keys = ["refs", "rc_refs", "n_real", "offsets",
-                "p_planes1", "p_planes2", "p_pair",
-                "r_planes1", "r_planes2", "r_pair"]
+    arr_keys = ["refs", "coreT", "n_real", "offsets"]
     if swl.exact is not None:
         arr_keys += list(swl.exact)
     in_specs = (P("data"), P("data"), {k: P("wl") for k in arr_keys})
@@ -352,13 +285,10 @@ def build_sharded_align(spec, index, mesh, max_minimizers=128, S=2):
     """Data-parallel candidate extraction: reads sharded over 'data',
     replicated over 'wl'. Returns jitted fn(codes, lengths) → (cand codes
     (B*S, Lc), lengths, hit mask)."""
-    import numpy as _np
-
     from ..align.aligner import prepare_index_arrays, seed_and_chain
-    from ..io.encode import COMPLEMENT
+    from ..io.encode import encode as _encode
     from ..ops.edit_distance import hw_locate
     from ..stages.device_step import _device_records
-    from ..io.encode import encode as _encode
 
     idx_arrays = prepare_index_arrays(index)
     f = spec.flank

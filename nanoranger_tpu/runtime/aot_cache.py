@@ -40,8 +40,7 @@ _SRC_MODULES = (
     "nanoranger_tpu.ops.pallas_ed",
     "nanoranger_tpu.ops.pallas_sw",
     "nanoranger_tpu.ops.sw",
-    "nanoranger_tpu.ops.product_screen",
-    "nanoranger_tpu.ops.seed_screen",
+    "nanoranger_tpu.ops.whitelist_verify",
     "nanoranger_tpu.ops.mxu_lookup",
     "nanoranger_tpu.ops.extend",
     "nanoranger_tpu.ops.edit_distance",

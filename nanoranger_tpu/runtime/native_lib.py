@@ -18,7 +18,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "native", "banded_align.cpp"),
-         os.path.join(_HERE, "native", "fastq_reader.cpp")]
+         os.path.join(_HERE, "native", "fastq_reader.cpp"),
+         os.path.join(_HERE, "native", "whitelist_verify.cpp")]
 _LIB_PATH = os.path.join(_HERE, "native", "libnrnative.so")
 
 _lib = None
@@ -65,6 +66,13 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
         lib.fq_close.restype = None
         lib.fq_close.argtypes = [ctypes.c_void_p]
+        lib.wl_verify_all.restype = ctypes.c_int
+        lib.wl_verify_all.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         _lib = lib
     except Exception:
         _lib = None
@@ -228,3 +236,36 @@ def _align_numpy_one(q, t):
             run += 1; k += 1
         cig += f"{run}{op}"
     return cig, int(sc), nm
+
+
+# ---------------------------------------------------------------------------
+# One-vs-all exhaustive whitelist scorer (whitelist_verify.cpp) — the CPU
+# twin of ops/whitelist_verify's Pallas kernel. Returns None when the
+# native lib is unavailable (callers fall back to the XLA scan).
+
+def wl_verify_all(q: np.ndarray, qlen: np.ndarray, coresT: np.ndarray,
+                  pad_left: int, pad_right: int,
+                  n_threads: int | None = None):
+    """q: (C, Lq) int8; qlen: (C,) int32; coresT: (m, R) int8 C-contiguous.
+    Returns (best, bidx_smallest, nties) int32 arrays or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, np.int8)
+    qlen = np.ascontiguousarray(qlen, np.int32)
+    coresT = np.ascontiguousarray(coresT, np.int8)
+    C, Lq = q.shape
+    m, R = coresT.shape
+    best = np.empty(C, np.int32)
+    bidx = np.empty(C, np.int32)
+    nties = np.empty(C, np.int32)
+    if n_threads is None:
+        n_threads = max(1, os.cpu_count() or 1)
+    rc = lib.wl_verify_all(
+        q.ctypes.data, qlen.ctypes.data, C, Lq,
+        coresT.ctypes.data, R, m, int(pad_left), int(pad_right),
+        best.ctypes.data, bidx.ctypes.data, nties.ctypes.data,
+        int(n_threads))
+    if rc != 0:
+        return None
+    return best, bidx, nties

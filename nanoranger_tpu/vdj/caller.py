@@ -245,7 +245,9 @@ def call_clonotypes(sub_fastq: str, v_fastas: list, outdir: str,
                             v_score=int(sc),
                             chain=cdr3mod.chain_of(index.names[v]),
                             cdr3_nt=_d(tail, tail_len), cdr3_aa="",
-                            clean=False, partial=True))
+                            clean=False, partial=True,
+                            seq=_d(np.asarray(batch.codes[i, :qlen]),
+                                   qlen)))
                 continue
             nt, aa = got
             clean = (not aa.endswith("_")) and aa.startswith("C")
@@ -254,11 +256,13 @@ def call_clonotypes(sub_fastq: str, v_fastas: list, outdir: str,
                 j_start = cys_read + len(nt)
                 seg = batch.codes[i, j_start: min(j_start + C_PROBE, qlen)]
                 c_name, c_score = cpanel.assign([seg])[0]
+            from ..io.encode import decode as _d
             calls.append(ReadCall(
                 name=batch.names[i], v_name=index.names[v],
                 v_score=int(sc), chain=cdr3mod.chain_of(index.names[v]),
                 cdr3_nt=nt, cdr3_aa=aa, clean=clean,
-                c_name=c_name, c_score=int(c_score)))
+                c_name=c_name, c_score=int(c_score),
+                seq=_d(np.asarray(batch.codes[i, :qlen]), qlen)))
 
     # germline context for the clone exports: V tails from the conserved
     # Cys (CDR3 imputation) and the bundled D panel (junction D calls)

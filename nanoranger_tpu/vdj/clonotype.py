@@ -28,10 +28,10 @@ import dataclasses
 import numpy as np
 import pandas as pd
 
-CLONE_COLUMNS = ["cloneId", "cloneCount", "chains", "aaSeqImputedCDR3",
-                 "nSeqImputedCDR3", "allVHitsWithScore",
-                 "allDHitsWithScore", "allJHitsWithScore",
-                 "allCHitsWithScore"]
+CLONE_COLUMNS = ["cloneId", "cloneCount", "chains", "targetSequences",
+                 "aaSeqImputedCDR3", "nSeqImputedCDR3",
+                 "allVHitsWithScore", "allDHitsWithScore",
+                 "allJHitsWithScore", "allCHitsWithScore"]
 
 
 class DPanel:
@@ -128,6 +128,8 @@ class ReadCall:
     #                        onto an assembled clone's junction prefix —
     #                        the role of MiXCR v4's assemblePartial +
     #                        extend (reference scripts/mixcr4.sh:10-14)
+    seq: str = ""       # full subread (stored orientation) — consensus
+    #                     contig assembly (assembleContigs analogue)
 
 
 def lev_batch(a_strs: list, b_strs: list) -> np.ndarray:
@@ -358,6 +360,43 @@ def assemble(calls: list, v_tails: dict | None = None,
         id_rows["cloneId"].append(rawidx_to_id[int(k)])
         id_rows["chains"].append(call.chain)
 
+    # --- clone-consensus contigs (assembleContigs analogue,
+    # reference scripts/mixcr4.sh:18-20): member reads anchor on their
+    # own junction occurrence inside their subread; columns are
+    # junction-relative, per-column base majority vote (ties by base
+    # order) over every member covering the column. The contig spans the
+    # union of member coverage — the full-length V..C consensus MiXCR's
+    # assembleContigs reports as targetSequences.
+    id_of = dict(zip(id_rows["descrsR1"], id_rows["cloneId"]))
+    members: dict = {}
+    for call in clean + rescued + partials:
+        cid = id_of.get(call.name)
+        if cid is None or not call.seq:
+            continue
+        pos = call.seq.find(call.cdr3_nt) if call.cdr3_nt else -1
+        if pos >= 0:
+            members.setdefault(cid, []).append((call.seq, pos))
+    contigs = []
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    for cid, nt in zip(clones.cloneId, clones.cdr3_nt):
+        mem = members.get(int(cid))
+        if not mem:
+            contigs.append(nt)
+            continue
+        lo = -max(p for _, p in mem)
+        hi = max(len(s) - p for s, p in mem)
+        votes = np.zeros((hi - lo, 4), np.int32)
+        for s, p in mem:
+            enc = np.frombuffer(s.encode(), np.uint8)
+            col = np.array([code.get(chr(c), -1) for c in enc], np.int8)
+            ok = col >= 0
+            idx = np.arange(len(s)) - p - lo
+            np.add.at(votes, (idx[ok], col[ok]), 1)
+        cov = votes.sum(axis=1) > 0
+        best = votes.argmax(axis=1)
+        arr = np.frombuffer(b"ACGT", np.uint8)[best]
+        contigs.append(arr[cov].tobytes().decode())
+
     # J/C hits: locus-level J (the J-motif anchor exists by construction of
     # the CDR3 call; its locus comes from the constant-region identity) plus
     # the real C-gene hit with its shared-kmer evidence count. No J-allele
@@ -401,6 +440,7 @@ def assemble(calls: list, v_tails: dict | None = None,
         "cloneId": clones.cloneId,
         "cloneCount": clones.cloneCount.astype(float),
         "chains": clones.chain,
+        "targetSequences": contigs,
         "aaSeqImputedCDR3": aa_out,
         "nSeqImputedCDR3": nt_out,
         "allVHitsWithScore": [f"{v.split('|')[0]}*00({int(s)})"

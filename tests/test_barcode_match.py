@@ -61,10 +61,13 @@ def test_one_mismatch_accepted_when_unique(matcher, rng):
     assert (r["bc_idx"][at14] == idx[at14]).all()
     assert (r["score"][acc] >= 14).all()
     # with a 20k whitelist the majority of 1-mismatch reads should be
-    # unique (the sorted prefix-clustered slice is adversarial for any
-    # screen; the rest legitimately multimap). Deterministic under the
-    # per-test node-id RNG: 33/64 accepted for this draw.
-    assert acc.sum() > 32
+    # unique (the sorted prefix-clustered slice is adversarial; the rest
+    # legitimately multimap). Deterministic under the per-test node-id
+    # RNG: 31/64 for this draw with the EXACT engine (round 5) — the
+    # round-4 screened engine accepted 33, missing two genuine
+    # ties/rc-loci the exhaustive pass now finds (validated against
+    # verify_all_xla + the brute-force oracle).
+    assert acc.sum() == 31
     assert set(r["status"][~acc]) <= {MULTIMAP, LOW_AS}
 
 

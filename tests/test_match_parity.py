@@ -1,17 +1,20 @@
-"""Full barcode-assignment parity vs the exhaustive arbiter (VERDICT r3
-next-step #2): every BC-UMI candidate of TCR3 + 1026_mtDNA scored
-against the full 737K whitelist. tools/match_parity.py writes the
-report; this test pins its guarantees:
+"""Full barcode-assignment parity vs the exhaustive arbiter: every
+BC-UMI candidate of TCR3 + 1026_mtDNA scored against the full 737K
+whitelist. tools/match_parity.py writes the report; this test pins its
+guarantees.
+
+Round 5: the matcher is exact by construction (tier hash passes +
+exhaustive one-vs-all DP, stages/barcode.py), so agreement with the
+arbiter is no longer a recall measurement — it cross-validates two
+independent implementations of the same STAR semantics (the engine's
+flipped one-vs-all kernel vs the arbiter's per-pair column-major
+scorer).  The contract is therefore (near-)total agreement:
 
   - every candidate arbitrated (n_candidates > 0, nothing sampled)
   - zero UNEXPLAINED divergences
-  - accepted-barcode flips never happen (when both accept, same bc)
-  - exact status agreement >= 92%, and >= 95% counting the
-    label-only classes (read dropped either way, no artifact effect);
-    the remaining accept-direction flips are the measured screened-
-    recall classes — noise-floor loci (rc ties / far-offset 14s with
-    indels) the exhaustive arbiter sees but a screened matcher does
-    not, each visible and classified in the report
+  - agreement >= 0.995 per sample (round-4 screened engine: 0.936/0.945;
+    round-4 VERDICT #1 demanded >= 0.995)
+  - when both accept, the barcode and UMI agree — no flips at all
 """
 
 import json
@@ -29,23 +32,20 @@ def test_full_match_parity():
     with open(PATH) as f:
         rep = json.load(f)
     assert rep["whitelist"] == "737K-august-2016"
-    assert set(rep["samples"]) >= {"TCR3", "1026_mtDNA_ASXL1_NRAS_SF3B1"}
+    # all four matching geometries arbitrated (round-4 VERDICT #6):
+    # 30/40 5' (TCR3, 1026), slideseq 8+linker+6, nuc 16/28
+    assert set(rep["samples"]) >= {"TCR3", "1026_mtDNA_ASXL1_NRAS_SF3B1",
+                                   "slideseq_XCR", "nuc_synthetic"}
     for name, s in rep["samples"].items():
         assert s["n_candidates"] > 500, name
-        assert s["n_whitelist"] == 737280
+        if name in ("TCR3", "1026_mtDNA_ASXL1_NRAS_SF3B1"):
+            assert s["n_whitelist"] == 737280
         assert s["classes"].get("UNEXPLAINED", 0) == 0, \
             (name, s["divergences"][:3])
-        assert s["agreement"] >= 0.92, (name, s["classes"])
-        n = s["n_candidates"]
-        label_only = s["classes"].get("both_dropped_status_differs", 0)
-        assert (s["agree"] + label_only) / n >= 0.95, (name, s["classes"])
-        # when both accept, a different barcode is only legitimate as a
-        # screen-recall case: the arbiter's barcode must score STRICTLY
-        # higher (e.g. a shifted whitelist near-pair where the exhaustive
-        # search finds a 15 the screen missed). An equal-score flip would
-        # be a tie-logic bug — never allowed.
+        assert s["agreement"] >= 0.995, (name, s["classes"])
+        # both-accept rows must agree exactly — an accepted-barcode or
+        # UMI flip between two exact implementations is a bug
         for d in s["divergences"]:
             e_bc, e_score, e_status, _ = d["engine"]
             a_bc, a_score, a_status, _ = d["arbiter"]
-            if e_status == 0 and a_status == 0 and e_bc != a_bc:
-                assert a_score > e_score, d
+            assert not (e_status == 0 and a_status == 0), d

@@ -18,16 +18,13 @@ def _mk_bcs(rng, n, k=16):
     return np.asarray(sorted(seen))
 
 
-def test_product_table_overflow_falls_back_to_bucket(rng, monkeypatch):
-    """Whitelists whose distinct-half product exceeds PAIR_LIMIT
-    (ops/product_screen.py:30 — e.g. a fully random 3M list) must fall
-    back to the bucket screen and still match."""
-    from nanoranger_tpu.ops import product_screen as ps
-    monkeypatch.setattr(ps, "PAIR_LIMIT", 1000)
+def test_random_whitelist_structure_independent(rng):
+    """The exact matcher (tier hash passes + exhaustive DP) must not care
+    about whitelist STRUCTURE — a fully random list (the shape that broke
+    product-screen assumptions, e.g. a random 3M list) matches exactly."""
     spec = chemistry.get("5p10XGEX").barcode
     wl = _mk_bcs(rng, 64)
     m = BarcodeMatcher(wl, spec)
-    assert m.product is None and m._tables is not None
     bc = wl[17]
     q, qlen = encode_batch(
         ["CGCTCTTCCGATCT" + bc + "ACGTACGTAC" + "TTTCT"], max_len=96)
@@ -36,14 +33,17 @@ def test_product_table_overflow_falls_back_to_bucket(rng, monkeypatch):
 
 
 def test_product_whitelist_100k(rng):
-    """Product-structured whitelist at 100k-ish scale (the 1M/3M shape):
-    ProductTable builds, and planted barcodes with an edit still match."""
+    """Product-structured whitelist at 100k-ish scale (the 10x 737K/3M
+    shape: n1 x n2 distinct halves).  Planted exact barcodes always
+    accept; 1-substitution variants accept exactly when no other row
+    ties — with a product-structured list a substitution inside one half
+    often recreates another valid row (a genuine STAR multimap), so the
+    assertion is semantic, not a recall count."""
     h1 = sorted({"".join(rng.choice(list("ACGT"), 8)) for _ in range(340)})
     h2 = sorted({"".join(rng.choice(list("ACGT"), 8)) for _ in range(340)})
     wl = np.asarray([a + b for a in h1 for b in h2][:100_000])
     spec = chemistry.get("5p10XGEX").barcode
     m = BarcodeMatcher(wl, spec)
-    assert m.product is not None
     picks = rng.integers(0, len(wl), 8)
     seqs = []
     for i, p in enumerate(picks):
@@ -53,11 +53,15 @@ def test_product_whitelist_100k(rng):
         seqs.append("CGCTCTTCCGATCT" + "".join(bc) + "ACGTACGTAC" + "TTTCT")
     q, qlen = encode_batch(seqs, max_len=96)
     r = m.match(q, qlen)
-    ok = 0
+    from nanoranger_tpu.stages.barcode import MULTIMAP
     for i, p in enumerate(picks):
-        if r["status"][i] == ACCEPT and r["bc_idx"][i] == p:
-            ok += 1
-    assert ok >= 6, (ok, r["status"], r["bc_idx"], picks)
+        if i % 2 == 0:   # exact plant: unique best at 16 -> ACCEPT
+            assert r["status"][i] == ACCEPT and r["bc_idx"][i] == p, \
+                (i, r["status"][i], r["bc_idx"][i], p)
+        else:            # 1-sub: ACCEPT(true bc at 14) or a real tie
+            assert r["status"][i] in (ACCEPT, MULTIMAP)
+            if r["status"][i] == ACCEPT and r["score"][i] == 14:
+                assert r["bc_idx"][i] == p
 
 
 def test_many_transcript_index_build(rng):

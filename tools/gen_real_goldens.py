@@ -17,7 +17,11 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_READS = 1200
+# Full-corpus parity (round-4 VERDICT #5): cover EVERY read of every
+# bundled sample (~4,000-5,044 each — the whole corpus the reference
+# ships). 10**9 means "no prefix cut"; override with
+# NANORANGER_GOLDEN_READS for quick local regens.
+N_READS = int(os.environ.get("NANORANGER_GOLDEN_READS", 10**9))
 
 # (sample fastq, mode, trns_ref, genome_ref, barcodes) — pairings from the
 # reference README.md:60-147

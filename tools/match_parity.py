@@ -52,9 +52,18 @@ sys.path.insert(0, REPO)
 
 DATA = os.path.join(REPO, "data")
 
+# sample -> (mode, trns_ref or None for synthetic, whitelist file).
+# TCR3/1026 cover the 30/40-pad 5' geometry; slideseq_XCR the
+# 8+linker+6 AS>=30 geometry (utils.py:625-682); nuc_synthetic the
+# 16/28-pad UMI@32/12 geometry (utils.py:1125,1159) on synthetic
+# candidates (the reference bundles no nuc sample fastq).
 SAMPLES = {
-    "TCR3": ("5p10XTCR", "TR_V_human.fa"),
-    "1026_mtDNA_ASXL1_NRAS_SF3B1": ("5p10XGEX", "panel_MT_trns.fa"),
+    "TCR3": ("5p10XTCR", "TR_V_human.fa", "737K-august-2016.txt.gz"),
+    "1026_mtDNA_ASXL1_NRAS_SF3B1":
+        ("5p10XGEX", "panel_MT_trns.fa", "737K-august-2016.txt.gz"),
+    "slideseq_XCR": ("3pXCR_slideseq", "XR_C_mouse.fa",
+                     "slideseq.matched.barcodes.tsv.gz"),
+    "nuc_synthetic": ("3p10XTCR_nuc", None, "737K-august-2016.txt.gz"),
 }
 
 ACCEPT, LOW_AS, MULTIMAP, NO_CAND, BAD_UMI, RC_BEST = 0, 1, 2, 3, 4, 6
@@ -63,6 +72,52 @@ _RC = {"A": "T", "C": "G", "G": "C", "T": "A"}
 
 def revcomp(s: str) -> str:
     return "".join(_RC.get(c, "N") for c in reversed(s))
+
+
+def structure_of(bc: str, b) -> str:
+    """The scoring core between the N pads: the barcode, or
+    bc8+linker+bc6 for slideseq (utils.py:584-595)."""
+    if b.slideseq_linker:
+        from nanoranger_tpu.chemistry import SLIDESEQ_LINKER
+        return bc[:8] + SLIDESEQ_LINKER + bc[8:]
+    return bc
+
+
+def synthetic_candidates(mode, full_wl, n=900, seed=0):
+    """Geometry-exercising candidates for modes without a bundled sample:
+    exact / 1-sub / 1-ins / 1-del / garbage / revcomp-planted barcodes in
+    the mode's extraction layout (for nuc: ~7 adapter chars + bc16 +
+    umi12 + tail — reference utils.py:1068-1079)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    bases = "ACGT"
+    names, seqs = [], []
+    for k in range(n):
+        i = int(rng.integers(0, len(full_wl)))
+        bc = list(full_wl[i])
+        cls = k % 6
+        if cls == 1:
+            p = int(rng.integers(0, len(bc)))
+            bc[p] = bases[(bases.index(bc[p]) + 1 +
+                           int(rng.integers(0, 3))) % 4]
+        elif cls == 2:
+            p = int(rng.integers(1, len(bc)))
+            bc = bc[:p] + [bases[int(rng.integers(0, 4))]] + bc[p:]
+        elif cls == 3:
+            p = int(rng.integers(0, len(bc)))
+            bc = bc[:p] + bc[p + 1:]
+        elif cls == 4:
+            bc = [bases[int(rng.integers(0, 4))] for _ in range(16)]
+        elif cls == 5:
+            bc = list(revcomp("".join(bc)))
+        pre = "".join(bases[int(rng.integers(0, 4))]
+                      for _ in range(int(rng.integers(4, 9))))
+        umi = "".join(bases[int(rng.integers(0, 4))] for _ in range(12))
+        tail = "".join(bases[int(rng.integers(0, 4))]
+                       for _ in range(int(rng.integers(0, 4))))
+        names.append(f"syn{k}_cls{cls}")
+        seqs.append(pre + "".join(bc) + umi + tail)
+    return names, seqs
 
 
 def candidates_for(sample, mode, trns, n_reads):
@@ -107,27 +162,28 @@ def engine_results(seqs, spec, full_wl, batch=2048, Lq=96):
     return {k: np.concatenate(v) for k, v in res.items()}, m
 
 
-def exact_hits(seqs, wl_index: dict, b):
+def exact_hits(seqs, wl_index: dict, b, m: int):
     """Per candidate: (forward exact ref-idx set, rc exact ref-idx set,
-    smallest forward occurrence start per ref).
+    LAST forward occurrence start per ref).
 
-    A score-16 alignment needs the exact 16-mer AND enough N-pad columns
-    to absorb the flanking query chars for free: occurrence start i must
-    satisfy i <= pad_left and len-(i+16) <= pad_right (extra chars would
-    be -1 insertions). The rc row's pads are mirrored."""
-    bc_len = b.bc_len
+    A score-m alignment (m = structure length) needs the exact
+    contiguous structure AND enough N-pad columns to absorb the flanking
+    query chars for free: occurrence start i must satisfy i <= pad_left
+    and len-(i+m) <= pad_right (extra chars would be -1 insertions). The
+    rc row's pads are mirrored."""
     fwd, rc, fpos = [], [], []
     for s in seqs:
         F, R = set(), set()
         first = {}
-        for i in range(0, len(s) - bc_len + 1):
-            tail = len(s) - (i + bc_len)
-            w = s[i:i + bc_len]
+        for i in range(0, len(s) - m + 1):
+            tail = len(s) - (i + m)
+            w = s[i:i + m]
             if i <= b.pad_left and tail <= b.pad_right:
                 j = wl_index.get(w)
                 if j is not None:
                     F.add(j)
-                    first.setdefault(j, i)
+                    first[j] = i       # LAST occurrence — the kernels'
+                                       # largest-on-path qpos rule
             if i <= b.pad_right and tail <= b.pad_left:
                 jr = wl_index.get(revcomp(w))
                 if jr is not None:
@@ -139,14 +195,17 @@ def exact_hits(seqs, wl_index: dict, b):
 
 
 def dp_best(seqs_sub, refs_np, umi_ref_offset, ref_chunk=16384,
-            cand_chunk=16, log=print):
-    """Exhaustive DP of each candidate vs ALL refs with the validated
-    scorer (ops.sw.sw_end2end_xla — the reference-DP-validated XLA scan,
-    NOT the engine's banded Pallas kernel). The whitelist lives on the
+            cand_chunk=16, log=print, pad_left=None):
+    """Exhaustive DP of each candidate vs ALL refs with the per-pair
+    scorer (ops.sw.sw_end2end — the reference-DP-validated column-major
+    kernel, a code path INDEPENDENT of the engine's one-vs-all flipped
+    kernel ops/whitelist_verify, so engine-vs-arbiter agreement
+    cross-validates two implementations). The whitelist lives on the
     default JAX device once; one jitted program slices a ref chunk,
     tiles it against a candidate chunk, scores, and reduces to
-    (max, smallest-argmax, tie-count) on device — on the TPU this makes
-    the 737K x n_cand sweep minutes instead of CPU-days.
+    (max, smallest-argmax, tie-count) on device.  With pad_left set (and
+    a non-CPU backend) the banded per-pair Pallas kernel runs — the
+    737K x n_cand sweep takes seconds instead of CPU-days.
 
     Returns per candidate: (best_score, best_idx(smallest), n_best_refs,
     qpos_of_best, uvalid_of_best)."""
@@ -156,13 +215,14 @@ def dp_best(seqs_sub, refs_np, umi_ref_offset, ref_chunk=16384,
     import jax.numpy as jnp
 
     from nanoranger_tpu.io.encode import encode_batch
-    from nanoranger_tpu.ops.sw import sw_end2end_xla
+    from nanoranger_tpu.ops.sw import sw_end2end, sw_end2end_xla
     n = len(seqs_sub)
     R, Lr = refs_np.shape
     pad_R = -(-R // ref_chunk) * ref_chunk
     refs_dev = jnp.asarray(np.pad(refs_np, ((0, pad_R - R), (0, 0)),
                                   constant_values=-1))   # PAD rows score NEG
     q_all, qlen_all = encode_batch(seqs_sub, max_len=96)
+    banded = pad_left is not None and jax.default_backend() != "cpu"
 
     @functools.partial(jax.jit, static_argnames=("C", "Rc"))
     def chunk_best(q, ql, rs, C, Rc):
@@ -171,7 +231,13 @@ def dp_best(seqs_sub, refs_np, umi_ref_offset, ref_chunk=16384,
         qql = jnp.repeat(ql, Rc)
         rfp = jnp.tile(rf, (C, 1))
         rl = jnp.full((C * Rc,), Lr, jnp.int32)
-        sc, qp, uv = sw_end2end_xla(qq, qql, rfp, rl, umi_ref_offset)
+        if banded:
+            sc, qp, uv = sw_end2end(qq, qql, rfp, rl, umi_ref_offset,
+                                    pad_left=pad_left, full_len=Lr)
+            # pad rows (-1-filled) may not score NEG in the banded
+            # closed-form pads; forced below either way
+        else:
+            sc, qp, uv = sw_end2end_xla(qq, qql, rfp, rl, umi_ref_offset)
         # padded whitelist rows are all-PAD: every column scores -1, so
         # they can never reach a real row's max; additionally force NEG
         is_pad = jnp.tile(rf[:, 0] < 0, C)
@@ -218,9 +284,9 @@ def dp_best(seqs_sub, refs_np, umi_ref_offset, ref_chunk=16384,
 def arbiter(seqs, spec, full_wl, refs_np, rc_refs_np, log=print):
     """Exhaustive verdict per candidate: (status, bc_idx, score, umi)."""
     b = spec.barcode
-    bc_len = b.bc_len
-    wl_index = {s: i for i, s in enumerate(full_wl)}
-    F, Rh, fpos = exact_hits(seqs, wl_index, b)
+    m = b.umi_ref_offset - b.pad_left          # structure length
+    wl_index = {structure_of(s, b): i for i, s in enumerate(full_wl)}
+    F, Rh, fpos = exact_hits(seqs, wl_index, b, m)
     n = len(seqs)
     status = np.full(n, NO_CAND, np.int64)
     bc_idx = np.full(n, -1, np.int64)
@@ -230,14 +296,14 @@ def arbiter(seqs, spec, full_wl, refs_np, rc_refs_np, log=print):
     need_dp = []
     for j, s in enumerate(seqs):
         if F[j]:
-            score[j] = bc_len
+            score[j] = m
             if len(F[j]) > 1 or Rh[j]:
-                # several score-16 barcodes, or an equal rc hit: two best
-                # alignments -> outFilterMultimapNmax 1 drop
+                # several score-m structures, or an equal rc hit: two
+                # best alignments -> outFilterMultimapNmax 1 drop
                 status[j] = MULTIMAP
                 continue
             ref = next(iter(F[j]))
-            qp = fpos[j][ref] + bc_len      # smallest-qpos optimal path
+            qp = fpos[j][ref] + m           # largest-qpos optimal path
             if qp + b.umi_len <= len(s):
                 status[j] = ACCEPT
                 bc_idx[j] = ref
@@ -246,21 +312,22 @@ def arbiter(seqs, spec, full_wl, refs_np, rc_refs_np, log=print):
                 status[j] = BAD_UMI
                 bc_idx[j] = ref
         elif Rh[j]:
-            # rc perfect (16) necessarily beats any fwd (<16 here)
-            score[j] = bc_len - 1  # fwd best unknown; only status matters
+            # rc perfect (m) necessarily beats any fwd (<m here)
+            score[j] = m - 1  # fwd best unknown; only status matters
             status[j] = RC_BEST
         else:
             need_dp.append(j)
 
     if need_dp:
         log(f"  exhaustive DP for {len(need_dp)}/{n} candidates "
-            f"(no exact forward/rc 16-mer)")
+            f"(no exact forward/rc structure)")
         seqs_sub = [seqs[j] for j in need_dp]
         fb, fi, fn, fq, fu = dp_best(seqs_sub, refs_np, b.umi_ref_offset,
-                                     log=log)
+                                     log=log, pad_left=b.pad_left)
         # rc best score only (vs revcomp'd rows; c_rc column)
-        c_rc = b.pad_right + bc_len
-        rb, _, rn, _, _ = dp_best(seqs_sub, rc_refs_np, c_rc, log=log)
+        c_rc = b.pad_right + m
+        rb, _, rn, _, _ = dp_best(seqs_sub, rc_refs_np, c_rc, log=log,
+                                  pad_left=b.pad_right)
         for k, j in enumerate(need_dp):
             s = seqs[j]
             score[j] = int(fb[k])
@@ -313,12 +380,16 @@ def run_sample(sample, n_reads, log=print):
     from nanoranger_tpu.io import whitelist as wl
     from nanoranger_tpu.io.encode import COMPLEMENT, decode
 
-    mode, trns = SAMPLES[sample]
+    mode, trns, wl_file = SAMPLES[sample]
     spec = chemistry.get(mode)
-    log(f"[match-parity] {sample} ({mode}): extracting candidates")
-    names, seqs = candidates_for(sample, mode, trns, n_reads)
+    full = wl.load(os.path.join(DATA, wl_file))
+    if trns is None:
+        log(f"[match-parity] {sample} ({mode}): synthetic candidates")
+        names, seqs = synthetic_candidates(mode, full, n=min(n_reads, 900))
+    else:
+        log(f"[match-parity] {sample} ({mode}): extracting candidates")
+        names, seqs = candidates_for(sample, mode, trns, n_reads)
     log(f"  {len(seqs)} candidates")
-    full = wl.load(os.path.join(DATA, "737K-august-2016.txt.gz"))
     eng, m = engine_results(seqs, spec, full)
     refs_np, _ = wl.padded_refs(full, spec.barcode)
     rc_refs_np = COMPLEMENT[refs_np][:, ::-1]
@@ -344,7 +415,7 @@ def run_sample(sample, n_reads, log=print):
     n = len(seqs)
     agree = classes.get("ok", 0)
     return {"mode": mode, "n_candidates": n, "n_whitelist": int(len(full)),
-            "n_dp_arbitrated": n_dp, "agree": agree,
+            "whitelist": wl_file, "n_dp_arbitrated": n_dp, "agree": agree,
             "agreement": round(agree / n, 6) if n else 1.0,
             "classes": classes, "divergences": rows}
 
@@ -352,7 +423,9 @@ def run_sample(sample, n_reads, log=print):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", default=",".join(SAMPLES))
-    ap.add_argument("--n-reads", type=int, default=1200)
+    ap.add_argument("--n-reads", type=int,
+                    default=int(os.environ.get("NANORANGER_GOLDEN_READS",
+                                               10**9)))
     ap.add_argument("--out", default=os.path.join(
         REPO, "tests", "goldens", "match_parity.json"))
     a = ap.parse_args()

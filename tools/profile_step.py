@@ -115,24 +115,18 @@ def main():
     qd, qld = jnp.asarray(q), jnp.asarray(qlen)
     t = matcher.device_tables()
 
-    fwd = jax.jit(lambda a, b: BarcodeMatcher.match_device_with(
-        _NoRc(matcher), a, b, t))
-    res["fwd_match_s"] = round(bench_fn(fwd, (qd, qld), args.iters), 4)
-
-    rc = jax.jit(lambda a, b: matcher.rc_best_with(a, b, t))
-    res["rc_match_s"] = round(bench_fn(rc, (qd, qld), args.iters), 4)
+    full = jax.jit(lambda a, b: matcher.match_device_with(a, b, t))
+    res["match_s"] = round(bench_fn(full, (qd, qld), args.iters), 4)
+    # DP-tail pressure: how many candidates lack an exact/1-ins structure
+    # on either strand (each flagged row pays the one-vs-all kernel)
+    r = matcher.match(q, qlen)
+    import numpy as _np
+    res["n_dp_flagged"] = int(_np.sum((r["score"] < 15) &
+                                      (qlen > 0)))
 
     res["full_step_reads_per_s"] = round(B / res["full_step_s"], 1)
     res["n_candidates_in_batch"] = len(asm.bcumi_seqs)
     print(json.dumps(res))
-
-
-class _NoRc:
-    """matcher view with rc_pass off (forward-only timing)."""
-
-    def __init__(self, m):
-        self.__dict__ = dict(m.__dict__)
-        self.rc_pass = False
 
 
 if __name__ == "__main__":
