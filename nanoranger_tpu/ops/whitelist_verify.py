@@ -232,7 +232,28 @@ def _verify_kernel(q_ref, qlen_ref, pl_ref, pr_ref, rv_ref, core_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("RB", "interpret"))
-def _verify_pallas(q, qlen, pl_caps, pr_caps, coreT, r_valid, RB, interpret):
+def _verify_pallas(q, qlen, pl_caps, pr_caps, coreT, r_valid, RB,
+                   interpret):
+    """Candidate batches chunk to CC rows per pallas launch: the query
+    chars live in SMEM (scalar-indexed per DP step) and scalar memory
+    only holds a few tens of KB — a (512, 96) i32 query block exhausts
+    it (observed RESOURCE_EXHAUSTED on the 737K whitelist)."""
+    CC = 64
+    C = q.shape[0]
+    if C > CC:
+        outs = [_verify_pallas(q[s:s + CC], qlen[s:s + CC],
+                               pl_caps[s:s + CC], pr_caps[s:s + CC],
+                               coreT, r_valid, RB, interpret)
+                for s in range(0, C, CC)]
+        return tuple(jnp.concatenate([o[k] for o in outs])
+                     for k in range(3))
+    return _verify_pallas_chunk(q, qlen, pl_caps, pr_caps, coreT,
+                                r_valid, RB, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("RB", "interpret"))
+def _verify_pallas_chunk(q, qlen, pl_caps, pr_caps, coreT, r_valid, RB,
+                         interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -42,9 +42,8 @@ from ..io import whitelist as wl
 from ..io.encode import COMPLEMENT, PAD, encode_batch
 from ..ops.sw import NEG, sw_end2end
 from ..ops.whitelist_verify import verify_all
-from ..stages.barcode import (ACCEPT, combine_verdicts, exact_window_any,
-                              exact_window_hits, ins1_window_any,
-                              ins1_window_hits, revcomp_rows)
+from ..stages.barcode import (ACCEPT, N_TIERS, combine_verdicts,
+                              revcomp_rows, tier_hits)
 
 BIGI = np.int32(1 << 30)
 
@@ -162,35 +161,33 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
             p = jnp.take_along_axis(g(pay_l), win[None, :], axis=0)[0]
             return v, p
 
-        # ---- tier passes (global merge: distinct counts SUM over
-        # disjoint shards; smallest global id wins; its eqpos rides along)
+        # ---- tier passes (global merge over disjoint shards: any = OR;
+        # multi = any shard multi OR hits in >=2 shards — shard ids are
+        # disjoint, so cross-shard hits are automatically distinct;
+        # smallest global id wins, its eqpos rides along)
         tiers = None
+        tier_hit = jnp.zeros((B,), bool)
         if "ex_keys" in arrs:
             bl = spec.bc_len
-            nd16_l, ebc16_l, eq16_l = exact_window_hits(
-                q, qlen, a["ex_keys"], a["ex_idx"], bl,
-                spec.pad_left, spec.pad_right)
-            nd15_l, ebc15_l, eq15_l = ins1_window_hits(
-                q, qlen, a["ex_keys"], a["ex_idx"], bl,
-                spec.pad_left, spec.pad_right)
-            rc16_l = exact_window_any(q, qlen, a["rc_ex_keys"], bl,
-                                      spec.pad_right, spec.pad_left,
-                                      idx_sorted=a["rc_ex_idx"])
-            rc15_l = ins1_window_any(q, qlen, a["rc_ex_keys"], bl,
-                                     spec.pad_right, spec.pad_left,
-                                     idx_sorted=a["rc_ex_idx"])
-            nd16 = jnp.sum(g(nd16_l), axis=0)
-            nd15 = jnp.sum(g(nd15_l), axis=0)
-            rc16 = jnp.any(g(rc16_l), axis=0)
-            rc15 = jnp.any(g(rc15_l), axis=0)
-            ebc16, eq16 = min_with_payload(
-                jnp.where(ebc16_l >= 0, ebc16_l + offset, BIGI), eq16_l)
-            ebc15, eq15 = min_with_payload(
-                jnp.where(ebc15_l >= 0, ebc15_l + offset, BIGI), eq15_l)
-            tiers = (nd16, ebc16, eq16, nd15, ebc15, eq15, rc16, rc15)
-            tier_hit = (nd16 >= 1) | (nd15 >= 1) | rc16 | rc15
-        else:
-            tier_hit = jnp.zeros((B,), bool)
+            fwd_l = tier_hits(q, qlen, a["ex_keys"], a["ex_idx"], bl,
+                              spec.pad_left, spec.pad_right)
+            rc_l = tier_hits(q, qlen, a["rc_ex_keys"], a["rc_ex_idx"], bl,
+                             spec.pad_right, spec.pad_left, any_only=True)
+            fwd_g, rc_g = [], []
+            for t in range(N_TIERS):
+                any_l, multi_l, ebc_l, eq_l = fwd_l[t]
+                anys = g(any_l)
+                any_t = jnp.any(anys, axis=0)
+                multi_t = jnp.any(g(multi_l), axis=0) | \
+                    (jnp.sum(anys.astype(jnp.int32), axis=0) >= 2)
+                ebc_t, eq_t = min_with_payload(
+                    jnp.where(ebc_l >= 0, ebc_l + offset, BIGI), eq_l)
+                ebc_t = jnp.where(any_t, ebc_t, -1)
+                fwd_g.append((any_t, multi_t, ebc_t, eq_t))
+                r_t = jnp.any(g(rc_l[t]), axis=0)
+                rc_g.append(r_t)
+                tier_hit = tier_hit | any_t | r_t
+            tiers = (fwd_g, rc_g)
 
         # ---- exhaustive DP tail, chunked; every shard loops the same
         # (global) flag set so the in-loop collectives stay aligned

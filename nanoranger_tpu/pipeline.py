@@ -561,6 +561,7 @@ class DeconRun:
         fsub.close()
         fbc.close()
         if cli_matcher is not None:
+            from .stages.barcode import DP_PENDING
             n = len(mbc)
             umi = np.full((n, umi_len), PAD, np.int8)
             pend = np.zeros(n, bool)
@@ -569,10 +570,14 @@ class DeconRun:
                     pend[i] = True              # deferred read — match later
                 else:
                     umi[i] = u
+            status_arr = np.asarray(mstatus, np.int32)
+            # rows the in-stream tier passes could not resolve (fused
+            # step runs dp=False): matched post-hoc with everything else
+            pend |= status_arr == DP_PENDING
             self.prematch = {
                 "bc_idx": np.asarray(mbc, np.int32),
                 "score": np.asarray(mscore, np.int32),
-                "status": np.asarray(mstatus, np.int32),
+                "status": status_arr,
                 "umi": umi, "pending": pend}
         self.n_reads = n_reads
         self.n_sub = n_sub

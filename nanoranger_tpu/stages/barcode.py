@@ -1,31 +1,32 @@
-"""Barcode matching stage: exact-structure tiers + exhaustive DP.
+"""Barcode matching stage: exact structure tiers + exhaustive DP.
 
 Replaces the reference's STAR sub-stack (write_bc_* → barcode_ref.sh →
 barcode_align.sh → process_matching_* SAM scan; SURVEY.md §3.5) with one
-jitted device step that is EXACT by construction:
+jitted device step that is EXACT by construction.
 
-  tier 16 (score = bc_len): an end-to-end score of bc_len requires the
-      candidate to contain the barcode as an exact contiguous bc_len-mer
-      at an N-pad-feasible position (every edit costs: +1 match columns
-      only).  Sorted-key lookup of every window finds ALL of them.
-  tier 15 (score = bc_len-1): uniquely a one-insertion structure
-      (score = 2*matches - bc_len - insertions ⇒ bc_len-1 forces
-      matches = bc_len, ins = 1).  Enumerating every (bc_len+1)-window
-      with one interior char deleted finds ALL of them.
-  DP tail: every candidate with neither structure on either strand is
-      scored exhaustively against the FULL whitelist, forward and
-      reverse, by ops/whitelist_verify (one-vs-all flipped DP) — best
-      score, smallest best index, and tie count are exact.
+The end-to-end score of a candidate against a padded whitelist row
+N^PL + core + N^PR decomposes as  score = m − 2(mm + del) − ins − ov
+where m = core length and ov = pad-overflow insertions
+(max(0, start − PL) + max(0, tail − PR)).  The top three scores
+therefore admit a COMPLETE hash enumeration ("tiers"):
 
-This is the STAR semantics itself, not an approximation: ties at the
-best score (any score) drop the read (--outFilterMultimapNmax 1 /
---outFilterMultimapScoreRange 0), a better reverse-strand alignment
-yields a flag-16 row the reference rejects (utils.py:699), and the
-accepted barcode/UMI come from the unique best alignment.  Round 4's
-screened matcher agreed with the exhaustive arbiter on only ~94% of
-candidates (tests/goldens/match_parity.json); this design agrees by
-construction, with tools/match_parity.py validating the implementation
-against an independent per-pair scorer.
+  cost 0  exact core window                      (1 / window)
+  cost 1  one interior insertion                 (m-1 / window)
+  cost 2  one substitution                       (3m / window)
+          one core-char deletion                 (4m / window)
+          two interior insertions                (C(m,2) / window)
+
+bucketed by tier = m − (class_cost + ov) ∈ {m, m-1, m-2}; everything
+scoring below m−2 on BOTH strands goes to the exhaustive one-vs-all DP
+(ops/whitelist_verify) against the FULL whitelist.  This is the STAR
+semantics itself: ties at the best score (any score) drop the read
+(--outFilterMultimapNmax 1 / --outFilterMultimapScoreRange 0), a better
+reverse-strand alignment yields a flag-16 row the reference rejects
+(utils.py:699), and the accepted barcode/UMI come from the unique best
+alignment.  Round 4's screened matcher agreed with the exhaustive
+arbiter on ~94% of candidates (tests/goldens/match_parity.json); this
+design agrees by construction, with tools/match_parity.py validating
+the implementation against an independent per-pair scorer.
 
 Status codes per candidate (what the reference observes from STAR's SAM):
   0 ACCEPT    — unique best, AS >= as_min, UMI intact (utils.py:718)
@@ -54,10 +55,15 @@ from ..ops.whitelist_verify import verify_all, verify_all_xla
 ACCEPT, LOW_AS, MULTIMAP, NO_CAND, BAD_UMI = 0, 1, 2, 3, 4
 RC_BEST = 6
 
+# tiers resolved by hash enumeration: m, m-1, m-2
+N_TIERS = 3
+
 
 def pack_window_keys(q, bc_len: int):
     """2-bit keys of every bc_len-window of each row: (B, W) uint32 +
-    validity (no N/PAD inside the window). bc_len <= 16."""
+    validity (no N/PAD inside the window). bc_len <= 16.
+    NOTE: keys pack RAW codes — windows containing N/PAD have garbage
+    bits and must be masked via the returned validity."""
     B, Lq = q.shape
     W = Lq - bc_len + 1
     c = q.astype(jnp.uint32)
@@ -76,161 +82,179 @@ def _lookup(keys, keys_sorted):
     return pos_c, keys_sorted[pos_c] == keys
 
 
-def _distinct_smallest_last(found, hit_bc, end_pos):
-    """Across a row's hit set: (#distinct barcodes, smallest hitting
-    barcode id or -1, largest end_pos among hits of that barcode)."""
-    B = found.shape[0]
+def _hits_summary(found, hit_bc, end_pos):
+    """Across a row's hit set: (any hit, >=2 DISTINCT barcodes, smallest
+    hitting barcode id or -1, largest end_pos among hits of that
+    barcode).  min!=max detects multiplicity without a sort — the
+    verdict logic only ever needs any / >=2 (STAR's multimap drop);
+    sharded callers merge losslessly via global min/max ids."""
     BIGV = jnp.int32(1 << 30)
-    ids = jnp.where(found, hit_bc, BIGV)
-    sorted_bc = jax.lax.sort(ids, dimension=1)
-    prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32),
-                            sorted_bc[:, :-1]], axis=1)
-    n_distinct = jnp.sum((sorted_bc != prev) & (sorted_bc < BIGV),
-                         axis=1).astype(jnp.int32)
-    any_ = n_distinct >= 1
-    ebc = jnp.where(any_, sorted_bc[:, 0], -1)
-    last = jnp.max(jnp.where(found & (hit_bc == ebc[:, None]), end_pos, -1),
-                   axis=1)
-    return n_distinct, ebc, jnp.where(any_, last, -1)
+    mn = jnp.min(jnp.where(found, hit_bc, BIGV), axis=1)
+    mx = jnp.max(jnp.where(found, hit_bc, -1), axis=1)
+    any_ = mx >= 0
+    multi = any_ & (mn != mx)
+    ebc = jnp.where(any_, mn, -1)
+    last = jnp.max(jnp.where(found & (hit_bc == ebc[:, None]), end_pos,
+                             -1), axis=1)
+    return any_, multi, ebc, jnp.where(any_, last, -1)
 
 
-def exact_window_hits(q, qlen, keys_sorted, idx_sorted, bc_len: int,
-                      max_pre: int, max_suf: int):
-    """All EXACT whitelist bc_len-mers inside each candidate at any
-    N-pad-feasible position — i.e. every score-bc_len end-to-end
-    alignment (STAR aligns the whole candidate against the whole padded
-    row; a second perfect barcode ANYWHERE is a second best locus).
+def _class_entries(q, qlen, m: int):
+    """All candidate-structure occurrences for the tier enumeration:
+    list of (keys (B, K) uint32, kept-chars-real (B, K) bool,
+    start (1or B, K) int32, wlen int, cost int).
 
-    Returns (n_distinct, ebc, eqpos): how many DISTINCT barcodes hit
-    (sharded callers SUM these across disjoint whitelist shards), the
-    smallest hitting barcode id (-1 when none), and the query position
-    after its LAST occurrence (the kernels' largest-on-path qpos rule).
-
-    idx_sorted entries < 0 mark padding rows (sharded whitelists pad to
-    equal size); their windows never count."""
+    Classes (see module docstring): exact, 1 interior insertion,
+    1 substitution, 1 deletion, 2 interior insertions.  All packing
+    uses CLEANED codes (N/PAD -> 0; raw codes >= 4 overflow their 2-bit
+    field into the neighbouring char's bits); garbage is rejected by
+    the real-char range sums, never by key value."""
     B, Lq = q.shape
-    W = Lq - bc_len + 1
-    keys, allok = pack_window_keys(q, bc_len)
-    i_arr = jnp.arange(W, dtype=jnp.int32)[None, :]
-    tail = qlen[:, None] - (i_arr + bc_len)
-    feas = (i_arr <= max_pre) & (tail >= 0) & (tail <= max_suf)
-    pos_c, eq = _lookup(keys, keys_sorted)
-    found = allok & feas & eq & (idx_sorted[pos_c] >= 0)
-    hit_bc = jnp.where(found, idx_sorted[pos_c], 1 << 30)
-    nd, ebc, last_i = _distinct_smallest_last(found, hit_bc, i_arr)
-    return nd, ebc, jnp.where(last_i >= 0, last_i + bc_len, -1)
-
-
-def exact_window_any(q, qlen, keys_sorted, bc_len: int, max_pre: int,
-                     max_suf: int, idx_sorted=None):
-    """Reverse-strand tier-16: only existence matters (an exact rc
-    structure equals the max attainable rc score)."""
-    B, Lq = q.shape
-    W = Lq - bc_len + 1
-    keys, allok = pack_window_keys(q, bc_len)
-    i_arr = jnp.arange(W, dtype=jnp.int32)[None, :]
-    tail = qlen[:, None] - (i_arr + bc_len)
-    feas = (i_arr <= max_pre) & (tail >= 0) & (tail <= max_suf)
-    pos_c, eq = _lookup(keys, keys_sorted)
-    found = allok & feas & eq
-    if idx_sorted is not None:
-        found = found & (idx_sorted[pos_c] >= 0)
-    return jnp.any(found, axis=1)
-
-
-def _ins1_keys(q, qlen, bc_len: int, max_pre: int, max_suf: int):
-    """Keys of every one-insertion structure: windows of bc_len+1 chars
-    starting at i with ONE interior char (window offset d in 1..bc_len-1)
-    deleted.  Returns (keys (B, W1, D) uint32, found-mask precursor
-    (B, W1, D) validity*feasibility, end_pos (B, W1) = i + bc_len + 1).
-
-    Deleting the first/last window char reduces to the contiguous
-    exact-16 case, so only interior deletions are enumerated.  The
-    deleted (inserted) char may be anything including N; the bc_len kept
-    chars must be real bases."""
-    B, Lq = q.shape
-    W1 = Lq - bc_len                      # (bc_len+1)-windows
-    D = bc_len - 1
-    c = jnp.where((q >= 0) & (q < 4), q, 0).astype(jnp.uint32)
     real = (q >= 0) & (q < 4)
-    # run_ok[p, k] = all real in q[p:p+k] via cumsum of real
     cs = jnp.concatenate([jnp.zeros((B, 1), jnp.int32),
                           jnp.cumsum(real.astype(jnp.int32), axis=1)],
                          axis=1)
 
     def ok_range(p0, length):
-        # p0: (B, W1) start indices; all q[p0 : p0+length] real
-        a = jnp.take_along_axis(cs, p0, axis=1)
-        b = jnp.take_along_axis(cs, jnp.minimum(p0 + length, Lq), axis=1)
+        a = jnp.take_along_axis(cs, jnp.clip(p0, 0, Lq), axis=1)
+        b = jnp.take_along_axis(cs, jnp.clip(p0 + length, 0, Lq), axis=1)
         return (b - a) == length
 
-    # full-window packing at every start (length bc_len, MSB-first); pad
-    # so suffix windows near the row end exist, and pack CLEANED codes
-    # (N/PAD -> 0) — raw codes >= 4 overflow their 2-bit field into the
-    # neighbouring char's bits.  Garbage windows are rejected by the
-    # ok_range validity below, never by key value.
-    qpad = jnp.pad(jnp.where(real, q, 0), ((0, 0), (0, bc_len)),
+    qpad = jnp.pad(jnp.where(real, q, 0), ((0, 0), (0, m + 2)),
                    constant_values=0).astype(q.dtype)
-    keys16, _ = pack_window_keys(qpad, bc_len)   # (B, Lq+1)
-    i_arr = jnp.arange(W1, dtype=jnp.int32)[None, :]
+    keysF, _ = pack_window_keys(qpad, m)            # (B, Lq+3)
+    out = []
 
-    keys = []
-    valid = []
-    pre = jnp.zeros((B, W1), jnp.uint32)
-    pre_ok = jnp.ones((B, W1), bool)
-    for d in range(1, bc_len):
-        # prefix q[i : i+d]  (d chars)
-        pre = (pre << 2) | c[:, d - 1:d - 1 + W1]
-        pre_ok = pre_ok & real[:, d - 1:d - 1 + W1]
-        # suffix q[i+d+1 : i+bc_len+1]  (bc_len - d chars) = prefix of the
-        # exact window starting at i+d+1
-        sfull = keys16[:, d + 1:d + 1 + W1]
-        suf = sfull >> jnp.uint32(2 * d)
-        suf_ok = ok_range(i_arr + d + 1, bc_len - d)
-        keys.append((pre << jnp.uint32(2 * (bc_len - d))) | suf)
-        valid.append(pre_ok & suf_ok)
-    keys = jnp.stack(keys, axis=2)               # (B, W1, D)
-    valid = jnp.stack(valid, axis=2)
-    tail = qlen[:, None] - (i_arr + bc_len + 1)
-    feas = ((i_arr <= max_pre) & (tail >= 0) & (tail <= max_suf))[:, :, None]
-    return keys, valid & feas, i_arr + bc_len + 1
+    # --- exact (cost 0)
+    W = Lq - m + 1
+    i0 = jnp.arange(W, dtype=jnp.int32)[None, :]
+    out.append((keysF[:, :W], ok_range(i0, m), i0, m, 0))
+
+    # --- 1 interior insertion (cost 1): (m+1)-windows, delete offset d
+    W1 = Lq - m
+    if W1 >= 1:
+        i1 = jnp.arange(W1, dtype=jnp.int32)[None, :]
+        pre = jnp.zeros((B, W1), jnp.uint32)
+        pre_ok = jnp.ones((B, W1), bool)
+        c2 = jnp.where(real, q, 0).astype(jnp.uint32)
+        ks, vs = [], []
+        for d in range(1, m):
+            pre = (pre << 2) | c2[:, d - 1:d - 1 + W1]
+            pre_ok = pre_ok & real[:, d - 1:d - 1 + W1]
+            suf = keysF[:, d + 1:d + 1 + W1] >> jnp.uint32(2 * d)
+            suf_ok = ok_range(i1 + d + 1, m - d)
+            ks.append((pre << jnp.uint32(2 * (m - d))) | suf)
+            vs.append(pre_ok & suf_ok)
+        out.append((jnp.stack(ks, 2).reshape(B, -1),
+                    jnp.stack(vs, 2).reshape(B, -1),
+                    jnp.repeat(i1, m - 1, axis=1), m + 1, 1))
+
+    # --- 1 substitution (cost 2): m-windows, replace position p
+    base_k = keysF[:, :W]
+    base_ok = ok_range(i0, m)
+    ks, vs = [], []
+    for p in range(m):
+        sh = jnp.uint32(2 * (m - 1 - p))
+        orig = (base_k >> sh) & jnp.uint32(3)
+        stripped = base_k & ~(jnp.uint32(3) << sh)
+        for d in range(1, 4):
+            x = (orig + jnp.uint32(d)) & jnp.uint32(3)
+            ks.append(stripped | (x << sh))
+            vs.append(base_ok)
+    out.append((jnp.stack(ks, 2).reshape(B, -1),
+                jnp.stack(vs, 2).reshape(B, -1),
+                jnp.repeat(i0, 3 * m, axis=1), m, 2))
+
+    # --- 1 deletion (cost 2): (m-1)-windows, re-insert any char anywhere
+    Wd = Lq - m + 2
+    idd = jnp.arange(Wd, dtype=jnp.int32)[None, :]
+    k15 = keysF[:, :Wd] >> jnp.uint32(2)            # top m-1 chars
+    ok15 = ok_range(idd, m - 1)
+    ks, vs = [], []
+    for p in range(m):
+        lo_bits = jnp.uint32(2 * (m - 1 - p))
+        lo_mask = (jnp.uint32(1) << lo_bits) - jnp.uint32(1)
+        hi = (k15 >> lo_bits) << (lo_bits + jnp.uint32(2))
+        lo = k15 & lo_mask
+        for x in range(4):
+            ks.append(hi | (jnp.uint32(x) << lo_bits) | lo)
+            vs.append(ok15)
+    out.append((jnp.stack(ks, 2).reshape(B, -1),
+                jnp.stack(vs, 2).reshape(B, -1),
+                jnp.repeat(idd, 4 * m, axis=1), m - 1, 2))
+
+    # --- 2 interior insertions (cost 2): (m+2)-windows, delete a<b
+    W2 = Lq - m - 1
+    if W2 >= 1:
+        i2 = jnp.arange(W2, dtype=jnp.int32)[None, :]
+        okW = ok_range(i2, m + 2)
+        ks = []
+        npairs = 0
+        for a in range(1, m + 1):
+            pre = keysF[:, :W2] >> jnp.uint32(2 * (m - a)) if a < m \
+                else keysF[:, :W2]
+            for b in range(a + 1, m + 2):
+                lmid = b - a - 1
+                lsuf = m + 1 - b
+                mid = (keysF[:, a + 1:a + 1 + W2] >>
+                       jnp.uint32(2 * (m - lmid))) if lmid else 0
+                suf = (keysF[:, b + 1:b + 1 + W2] >>
+                       jnp.uint32(2 * (m - lsuf))) if lsuf else 0
+                ks.append((pre << jnp.uint32(2 * (lmid + lsuf)))
+                          | (mid << jnp.uint32(2 * lsuf)) | suf)
+                npairs += 1
+        out.append((jnp.stack(ks, 2).reshape(B, -1),
+                    jnp.repeat(okW, npairs, axis=1),
+                    jnp.repeat(i2, npairs, axis=1), m + 2, 2))
+    return out
 
 
-def ins1_window_hits(q, qlen, keys_sorted, idx_sorted, bc_len: int,
-                     max_pre: int, max_suf: int):
-    """All score-(bc_len-1) one-insertion structures (see _ins1_keys).
-    Returns (n_distinct, ebc, eqpos) with the same conventions as
-    exact_window_hits (eqpos = end of the matched span = i+bc_len+1)."""
-    B = q.shape[0]
-    keys, mask, end_pos = _ins1_keys(q, qlen, bc_len, max_pre, max_suf)
-    sh = keys.shape
-    pos_c, eq = _lookup(keys.reshape(B, -1),
-                        keys_sorted)
-    found = mask.reshape(B, -1) & eq & (idx_sorted[pos_c] >= 0)
-    hit_bc = jnp.where(found, idx_sorted[pos_c], 1 << 30)
-    ends = jnp.broadcast_to(end_pos[:, :, None], sh).reshape(B, -1)
-    return _distinct_smallest_last(found, hit_bc, ends)
+def tier_hits(q, qlen, keys_sorted, idx_sorted, bc_len: int, max_pre: int,
+              max_suf: int, any_only: bool = False):
+    """Per tier t in (m, m-1, m-2): (any, multi, ebc, eqpos) of every
+    score-t locus — class enumerations bucketed by
+    tier = m − (class_cost + pad_overflow).  With any_only=True returns
+    just the three `any` vectors (the reverse-strand pass).
 
-
-def ins1_window_any(q, qlen, keys_sorted, bc_len: int, max_pre: int,
-                    max_suf: int, idx_sorted=None):
-    B = q.shape[0]
-    keys, mask, _ = _ins1_keys(q, qlen, bc_len, max_pre, max_suf)
-    pos_c, eq = _lookup(keys.reshape(B, -1), keys_sorted)
-    found = mask.reshape(B, -1) & eq
-    if idx_sorted is not None:
-        found = found & (idx_sorted[pos_c] >= 0)
-    return jnp.any(found, axis=1)
+    idx_sorted entries < 0 mark padding rows (sharded whitelists)."""
+    B, Lq = q.shape
+    m = bc_len
+    entries = _class_entries(q, qlen, m)
+    keys = jnp.concatenate([e[0] for e in entries], axis=1)
+    valid = jnp.concatenate([e[1] for e in entries], axis=1)
+    start = jnp.concatenate([jnp.broadcast_to(e[2], e[0].shape)
+                             for e in entries], axis=1)
+    wlen = jnp.concatenate([jnp.full(e[0].shape[1], e[3], jnp.int32)
+                            for e in entries])[None, :]
+    cost = jnp.concatenate([jnp.full(e[0].shape[1], e[4], jnp.int32)
+                            for e in entries])[None, :]
+    tail = qlen[:, None] - (start + wlen)
+    ov = jnp.maximum(start - max_pre, 0) + jnp.maximum(tail - max_suf, 0)
+    total = cost + ov
+    base = valid & (tail >= 0)
+    pos_c, eq = _lookup(keys, keys_sorted)
+    found_all = base & eq & (idx_sorted[pos_c] >= 0)
+    ends = start + wlen
+    res = []
+    for t in range(N_TIERS):
+        found = found_all & (total == t)
+        if any_only:
+            res.append(jnp.any(found, axis=1))
+        else:
+            hit_bc = jnp.where(found, idx_sorted[pos_c], 1 << 30)
+            res.append(_hits_summary(found, hit_bc, ends))
+    return res
 
 
 def combine_verdicts(q, qlen, spec, core_len, tiers, dp):
     """The arbitration of the exhaustive arbiter (tools/match_parity.py):
     rc>fwd -> RC_BEST; rc==fwd or fwd ties -> MULTIMAP; fwd<as_min ->
-    LOW_AS; else ACCEPT/BAD_UMI.  `tiers` is None or the GLOBAL
-    (nd16, ebc16, eq16, nd15, ebc15, eq15, rc16, rc15); `dp` is
-    (need_dp, fb, fidx, fties, rb, fqpos, fuval) with fidx global.
-    Shared by the single-chip matcher and the sharded matcher (which
-    merges shard-local tier/DP results over the 'wl' axis first)."""
+    LOW_AS; else ACCEPT/BAD_UMI.  `tiers` is None or
+    (fwd_tiers, rc_any) where fwd_tiers = [(any, multi, ebc, eqpos)]
+    and rc_any = [any] for tier scores (m, m-1, m-2), all GLOBAL values;
+    `dp` is (need_dp, fb, fidx, fties, rb, fqpos, fuval) with fidx
+    global.  Shared by the single-chip matcher and the sharded matcher
+    (which merges shard-local tier/DP results over 'wl' first)."""
     B, Lq = q.shape
     s = spec
     m = core_len
@@ -258,33 +282,29 @@ def combine_verdicts(q, qlen, spec, core_len, tiers, dp):
     qpos = jnp.where(need_dp, fqpos, qpos)
 
     if tiers is not None:
-        nd16, ebc16, eq16, nd15, ebc15, eq15, rc16, rc15 = tiers
-        t16 = nonempty & (nd16 >= 1)
-        t15 = nonempty & (nd16 == 0) & (nd15 >= 1)
-        rc_only = nonempty & (nd16 == 0) & (nd15 == 0) & (rc16 | rc15)
-
-        s16 = jnp.int32(m)
-        u16ok = (eq16 >= 0) & (eq16 + s.umi_len <= qlen)
-        st16 = jnp.where((nd16 > 1) | rc16, MULTIMAP,
-                         jnp.where(u16ok, ACCEPT, BAD_UMI))
-        status = jnp.where(t16, st16, status)
-        score = jnp.where(t16, s16, score)
-        bc = jnp.where(t16 & (st16 != MULTIMAP), ebc16, bc)
-        qpos = jnp.where(t16 & (st16 != MULTIMAP), eq16, qpos)
-
-        u15ok = (eq15 >= 0) & (eq15 + s.umi_len <= qlen)
-        st15 = jnp.where(rc16, RC_BEST,
-                         jnp.where((nd15 > 1) | rc15, MULTIMAP,
-                                   jnp.where(u15ok, ACCEPT, BAD_UMI)))
-        status = jnp.where(t15, st15, status)
-        score = jnp.where(t15, s16 - 1, score)
-        t15_keep = t15 & ((st15 == ACCEPT) | (st15 == BAD_UMI))
-        bc = jnp.where(t15_keep, ebc15, bc)
-        qpos = jnp.where(t15_keep, eq15, qpos)
-
+        fwd, rc_any = tiers
+        higher_fwd = jnp.zeros((B,), bool)
+        rc_higher = jnp.zeros((B,), bool)
+        for t in range(N_TIERS):
+            any_t, multi_t, ebc_t, eq_t = fwd[t]
+            r_t = rc_any[t]
+            row = nonempty & ~higher_fwd & any_t
+            st = jnp.where(rc_higher, RC_BEST,
+                           jnp.where(multi_t | r_t, MULTIMAP,
+                                     jnp.where((eq_t >= 0) &
+                                               (eq_t + s.umi_len <= qlen),
+                                               ACCEPT, BAD_UMI)))
+            status = jnp.where(row, st, status)
+            score = jnp.where(row, jnp.int32(m - t), score)
+            keepers = row & ((st == ACCEPT) | (st == BAD_UMI))
+            bc = jnp.where(keepers, ebc_t, bc)
+            qpos = jnp.where(keepers, eq_t, qpos)
+            higher_fwd = higher_fwd | any_t
+            rc_higher = rc_higher | r_t
+        # rc-only rows: some rc structure outranks every fwd one
+        rc_only = nonempty & ~higher_fwd & rc_higher
         status = jnp.where(rc_only, RC_BEST, status)
-        score = jnp.where(rc_only,
-                          jnp.where(rc16, s16, s16 - 1) - 1, score)
+        score = jnp.where(rc_only, jnp.int32(m - 1), score)
 
     off = jnp.arange(s.umi_len, dtype=jnp.int32)[None, :]
     uidx = jnp.clip(qpos[:, None] + off, 0, Lq - 1)
@@ -331,13 +351,13 @@ class BarcodeMatcher:
         self.core_len = spec.umi_ref_offset - spec.pad_left
         self._coreT_np = np.ascontiguousarray(
             refs_np[:, spec.pad_left:spec.umi_ref_offset].T)
-        assert spec.as_min <= self.core_len - 1, \
+        assert spec.as_min <= self.core_len - (N_TIERS - 1), \
             "tier scores must clear as_min"
 
-        # exact-structure tier tables: sorted 2-bit keys of the cores and
-        # of their revcomps (bc_len <= 16 so keys fit uint32; slideseq's
-        # 32-char structure exceeds that — its 17k-bead whitelist goes
-        # straight to the exhaustive DP, which is cheap at that scale)
+        # tier tables: sorted 2-bit keys of the cores and of their
+        # revcomps (bc_len <= 16 so keys fit uint32; slideseq's 32-char
+        # structure exceeds that — its 17k-bead whitelist goes straight
+        # to the exhaustive DP, which is cheap at that scale)
         self._ex_np = None
         if not spec.slideseq_linker and spec.bc_len <= 16:
             bc_codes, _ = encode_batch([b for b in self.barcodes],
@@ -373,6 +393,23 @@ class BarcodeMatcher:
                 self._ex_dev = tuple(jnp.asarray(a) for a in self._ex_np)
             t["ex_keys"], t["ex_idx"], t["rc_ex_keys"] = self._ex_dev
         return t
+
+    def _tiers_with(self, q, qlen, t):
+        """(fwd_tiers, rc_any, tier_hit) from explicit tables, or
+        (None, None, all-False) when tiers are disabled."""
+        B = q.shape[0]
+        s = self.spec
+        if "ex_keys" not in t:
+            return None, None, jnp.zeros((B,), bool)
+        fwd = tier_hits(q, qlen, t["ex_keys"], t["ex_idx"], s.bc_len,
+                        s.pad_left, s.pad_right)
+        rci = jnp.zeros_like(t["ex_idx"])   # rc table has no padding rows
+        rc = tier_hits(q, qlen, t["rc_ex_keys"], rci, s.bc_len,
+                       s.pad_right, s.pad_left, any_only=True)
+        hit = jnp.zeros((B,), bool)
+        for k in range(N_TIERS):
+            hit = hit | fwd[k][0] | rc[k]
+        return fwd, rc, hit
 
     # -- exhaustive DP tail ------------------------------------------------
 
@@ -440,37 +477,34 @@ class BarcodeMatcher:
 
     # -- the match ---------------------------------------------------------
 
-    def match_device_with(self, q, qlen, t):
+    def match_device_with(self, q, qlen, t, dp: bool = True):
         """Jit-composable match from explicit tables (device_tables()).
-        Returns (bc, score, status, umi, qpos)."""
+        Returns (bc, score, status, umi, qpos).  With dp=False the
+        exhaustive tail is SKIPPED and flagged rows come back as
+        DP_PENDING — the streamed CLI resolves them post-hoc in one
+        batched sweep (pipeline.match_barcodes) so the fused step never
+        stalls on the one-vs-all kernel."""
         B, Lq = q.shape
         s = self.spec
-        m = self.core_len
-        tiers = "ex_keys" in t
-        if tiers:
-            nd16, ebc16, eq16 = exact_window_hits(
-                q, qlen, t["ex_keys"], t["ex_idx"], s.bc_len,
-                s.pad_left, s.pad_right)
-            nd15, ebc15, eq15 = ins1_window_hits(
-                q, qlen, t["ex_keys"], t["ex_idx"], s.bc_len,
-                s.pad_left, s.pad_right)
-            rc16 = exact_window_any(q, qlen, t["rc_ex_keys"], s.bc_len,
-                                    s.pad_right, s.pad_left)
-            rc15 = ins1_window_any(q, qlen, t["rc_ex_keys"], s.bc_len,
-                                   s.pad_right, s.pad_left)
-            tier_hit = (nd16 >= 1) | (nd15 >= 1) | rc16 | rc15
-            tiers_tuple = (nd16, ebc16, eq16, nd15, ebc15, eq15, rc16,
-                           rc15)
-        else:
-            tier_hit = jnp.zeros((B,), bool)
-            tiers_tuple = None
-
+        fwd, rc, tier_hit = self._tiers_with(q, qlen, t)
         need_dp = (qlen > 0) & ~tier_hit
-        fb, fidx, fties, rb, fqpos, fuval = self._dp_pass(q, qlen, t,
-                                                          need_dp)
-        return combine_verdicts(
-            q, qlen, s, m, tiers_tuple,
-            (need_dp, fb, fidx, fties, rb, fqpos, fuval))
+        if dp:
+            dp_res = self._dp_pass(q, qlen, t, need_dp)
+        else:
+            dp_res = (jnp.full((B,), NEG, jnp.int32),
+                      jnp.full((B,), -1, jnp.int32),
+                      jnp.zeros((B,), jnp.int32),
+                      jnp.full((B,), NEG, jnp.int32),
+                      jnp.full((B,), -1, jnp.int32),
+                      jnp.zeros((B,), bool))
+        out = combine_verdicts(
+            q, qlen, s, self.core_len,
+            None if fwd is None else (fwd, rc), (need_dp, *dp_res))
+        if not dp:
+            bc, score, status, umi, qpos = out
+            status = jnp.where(need_dp, jnp.int32(DP_PENDING), status)
+            return bc, score, status, umi, qpos
+        return out
 
     def match_device(self, q, qlen):
         """Jit-composable match: returns (bc, score, status, umi, qpos)."""
@@ -499,7 +533,7 @@ class BarcodeMatcher:
             s = self.spec
             extra = (s.umi_ref_offset, s.umi_len, s.as_min, s.bc_len,
                      self.dp_chunk, int(len(self.barcodes)), self.ref_len,
-                     "exact_v5")
+                     "exact_v5t14")
             self._aot_fn = get_or_compile("match", fn, example, extra,
                                           log=log)
             self._aot_shape = (batch, Lq)
@@ -510,21 +544,10 @@ class BarcodeMatcher:
     def _tier_fn_for(self, shape):
         if getattr(self, "_tier_fn", None) is None or \
                 self._tier_shape != shape:
-            s = self.spec
 
             @jax.jit
-            def fn(q, qlen, ex_keys, ex_idx, rc_ex_keys):
-                nd16, ebc16, eq16 = exact_window_hits(
-                    q, qlen, ex_keys, ex_idx, s.bc_len, s.pad_left,
-                    s.pad_right)
-                nd15, ebc15, eq15 = ins1_window_hits(
-                    q, qlen, ex_keys, ex_idx, s.bc_len, s.pad_left,
-                    s.pad_right)
-                rc16 = exact_window_any(q, qlen, rc_ex_keys, s.bc_len,
-                                        s.pad_right, s.pad_left)
-                rc15 = ins1_window_any(q, qlen, rc_ex_keys, s.bc_len,
-                                       s.pad_right, s.pad_left)
-                return nd16, ebc16, eq16, nd15, ebc15, eq15, rc16, rc15
+            def fn(q, qlen, tt):
+                return self._tiers_with(q, qlen, tt)
 
             self._tier_fn = fn
             self._tier_shape = shape
@@ -542,20 +565,10 @@ class BarcodeMatcher:
         s = self.spec
         B, Lq = q.shape
         qlen = np.asarray(qlen, np.int32)
-        if self._ex_np is not None:
-            t = self.device_tables()
-            outs = self._tier_fn_for(q.shape)(
-                jnp.asarray(q), jnp.asarray(qlen), t["ex_keys"],
-                t["ex_idx"], t["rc_ex_keys"])
-            (nd16, ebc16, eq16, nd15, ebc15, eq15, rc16,
-             rc15) = map(np.asarray, outs)
-            tier_hit = (nd16 >= 1) | (nd15 >= 1) | rc16 | rc15
-            tiers = tuple(jnp.asarray(a) for a in
-                          (nd16, ebc16, eq16, nd15, ebc15, eq15, rc16,
-                           rc15))
-        else:
-            tier_hit = np.zeros(B, bool)
-            tiers = None
+        t = self.device_tables()
+        fwd, rc, tier_hit = self._tier_fn_for(q.shape)(
+            jnp.asarray(q), jnp.asarray(qlen), t)
+        tier_hit = np.asarray(tier_hit)
         need = (qlen > 0) & ~tier_hit
         rows = np.where(need)[0]
         NEGv = np.int32(NEG)
@@ -593,7 +606,8 @@ class BarcodeMatcher:
             fqpos[rows] = qp
             fuval[rows] = uv
         bc, score, status, umi, qpos = combine_verdicts(
-            jnp.asarray(q), jnp.asarray(qlen), s, self.core_len, tiers,
+            jnp.asarray(q), jnp.asarray(qlen), s, self.core_len,
+            None if fwd is None else (fwd, rc),
             (jnp.asarray(need), jnp.asarray(fb), jnp.asarray(fidx),
              jnp.asarray(fties), jnp.asarray(rb), jnp.asarray(fqpos),
              jnp.asarray(fuval)))
@@ -621,3 +635,8 @@ class BarcodeMatcher:
         ok = bc_idx >= 0
         out[ok] = self.barcodes[bc_idx[ok]]
         return out
+
+
+# streamed-CLI sentinel: tier passes could not resolve the row and the
+# fused step ran with dp=False — pipeline.match_barcodes re-matches it
+DP_PENDING = 7

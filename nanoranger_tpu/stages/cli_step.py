@@ -460,13 +460,18 @@ def build_cli_step(spec: ChemistrySpec, index: PanelIndex, matcher=None,
                 (sort_key, jnp.arange(R, dtype=jnp.int32)), num_keys=1)
             sel = perm[:M]
             spill = perm[M:]
+            # dp=False: tier passes resolve ~85-95% of candidates in-
+            # stream; rows needing the exhaustive one-vs-all DP come
+            # back DP_PENDING and the pipeline matches them post-hoc in
+            # ONE batched sweep (pipeline.match_barcodes) — the fused
+            # step never stalls on the one-vs-all kernel.
             bc_m, score_m, status_m, umi_m, _ = matcher.match_device_with(
-                cand[sel], blen[sel], t["m"])
+                cand[sel], blen[sel], t["m"], dp=False)
             n_spill = jnp.sum(accept_bc[spill])
 
             def run_spill(_):
                 b, s, st, u, _q = matcher.match_device_with(
-                    cand[spill], blen[spill], t["m"])
+                    cand[spill], blen[spill], t["m"], dp=False)
                 return b, s, st, u
 
             def no_spill(_):

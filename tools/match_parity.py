@@ -121,11 +121,32 @@ def synthetic_candidates(mode, full_wl, n=900, seed=0):
 
 
 def candidates_for(sample, mode, trns, n_reads):
-    """BC-UMI candidates from a decon-only pipeline run."""
+    """BC-UMI candidates from a decon-only pipeline run.
+
+    Runs in a CPU SUBPROCESS when the parent sits on an accelerator: the
+    decon extraction is host-cheap, and keeping it off the chip avoids
+    compiling the CLI programs for the tool's batch shape — the parent
+    keeps the chip for the engine + exhaustive arbiter."""
+    import subprocess
+    outdir = tempfile.mkdtemp(prefix=f"mp_{sample}_")
+    out_json = os.path.join(outdir, "cands.json")
+    code = (f"import sys; sys.path.insert(0, {REPO!r}); "
+            f"from tools.match_parity import _extract_main; "
+            f"_extract_main({sample!r}, {mode!r}, {trns!r}, {n_reads}, "
+            f"{outdir!r}, {out_json!r})")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    subprocess.run([sys.executable, "-c", code], check=True, env=env)
+    with open(out_json) as f:
+        d = json.load(f)
+    return d["names"], d["seqs"]
+
+
+def _extract_main(sample, mode, trns, n_reads, outdir, out_json):
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # sitecustomize override
     from nanoranger_tpu.io.fasta import iter_fasta
     from nanoranger_tpu.pipeline import run_pipeline
     from tools.gen_real_goldens import write_prefix
-    outdir = tempfile.mkdtemp(prefix=f"mp_{sample}_")
     src = os.path.join(DATA, "samples", sample + ".fastq.gz")
     infile = os.path.join(outdir, "in.fastq.gz")
     write_prefix(src, infile, n_reads)
@@ -142,7 +163,8 @@ def candidates_for(sample, mode, trns, n_reads):
     for nm, sq in iter_fasta(f"{outdir}/t_BCUMI.fasta.gz"):
         names.append(nm)
         seqs.append(sq)
-    return names, seqs
+    with open(out_json, "w") as f:
+        json.dump({"names": names, "seqs": seqs}, f)
 
 
 def engine_results(seqs, spec, full_wl, batch=2048, Lq=96):
