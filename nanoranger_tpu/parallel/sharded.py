@@ -42,8 +42,8 @@ from ..io import whitelist as wl
 from ..io.encode import COMPLEMENT, PAD, encode_batch
 from ..ops.sw import NEG, sw_end2end
 from ..ops.whitelist_verify import verify_all
-from ..stages.barcode import (ACCEPT, N_TIERS, combine_verdicts,
-                              revcomp_rows, tier_hits)
+from ..stages.barcode import (ACCEPT, N_TIERS, boundary_flags,
+                              combine_verdicts, revcomp_rows, tier_hits)
 
 BIGI = np.int32(1 << 30)
 
@@ -98,6 +98,22 @@ class ShardedWhitelist:
             ei = np.full((n_wl, per), -1, np.int32)
             rk = np.full((n_wl, per), 0xFFFFFFFF, np.uint32)
             ri = np.full((n_wl, per), -1, np.int32)
+            # boundary-truncation tables (stages/barcode.boundary_flags):
+            # per-shard sorted keys of the 1-/2-truncated cores; the
+            # 0xFFFFFFFF sentinel exceeds every (m-1)/(m-2)-char key, so
+            # pad rows never match
+            bnd_names = ("b_suf1", "b_suf2", "b_pre1", "b_pre2",
+                         "b_rc_suf1", "b_rc_suf2", "b_rc_pre1",
+                         "b_rc_pre2")
+            bnd = {k: np.full((n_wl, per), 0xFFFFFFFF, np.uint32)
+                   for k in bnd_names}
+
+            def pk(cds):
+                k = np.zeros(cds.shape[0], np.uint32)
+                for t in range(cds.shape[1]):
+                    k = (k << np.uint32(2)) | cds[:, t].astype(np.uint32)
+                return np.sort(k)
+
             for s in range(n_wl):
                 nr = int(self.n_real[s])
                 shard = self.barcodes[s * per: s * per + nr]
@@ -115,8 +131,17 @@ class ShardedWhitelist:
                 ei[s, :nr] = order
                 rk[s, :nr] = np.sort(rkeys)
                 ri[s, :nr] = 0
+                for name, cds in (("b_suf1", codes[:, 1:]),
+                                  ("b_suf2", codes[:, 2:]),
+                                  ("b_pre1", codes[:, :-1]),
+                                  ("b_pre2", codes[:, :-2]),
+                                  ("b_rc_suf1", rc_codes[:, 1:]),
+                                  ("b_rc_suf2", rc_codes[:, 2:]),
+                                  ("b_rc_pre1", rc_codes[:, :-1]),
+                                  ("b_rc_pre2", rc_codes[:, :-2])):
+                    bnd[name][s, :nr] = pk(cds)
             self.exact = {"ex_keys": ek, "ex_idx": ei, "rc_ex_keys": rk,
-                          "rc_ex_idx": ri}
+                          "rc_ex_idx": ri, **bnd}
 
     def device_arrays(self, mesh: Mesh):
         sh = lambda spec_: NamedSharding(mesh, spec_)
@@ -173,18 +198,31 @@ def build_sharded_match(swl: ShardedWhitelist, mesh: Mesh):
                               spec.pad_left, spec.pad_right)
             rc_l = tier_hits(q, qlen, a["rc_ex_keys"], a["rc_ex_idx"], bl,
                              spec.pad_right, spec.pad_left, any_only=True)
+            # boundary-truncation flag: local structures OR'd over 'wl';
+            # flagged candidates bypass the tier summaries entirely
+            # (free core entry/exit at the query edges — see
+            # stages/barcode.boundary_flags)
+            fl_l = boundary_flags(
+                q, qlen, (a["b_suf1"], a["b_suf2"], a["b_pre1"],
+                          a["b_pre2"]), bl, spec.pad_left, spec.pad_right)
+            fl_l = fl_l | boundary_flags(
+                q, qlen, (a["b_rc_suf1"], a["b_rc_suf2"], a["b_rc_pre1"],
+                          a["b_rc_pre2"]), bl, spec.pad_right,
+                spec.pad_left)
+            keep = ~(jnp.any(g(fl_l), axis=0) |
+                     ((qlen > 0) & (qlen <= bl + 1)))
             fwd_g, rc_g = [], []
             for t in range(N_TIERS):
                 any_l, multi_l, ebc_l, eq_l = fwd_l[t]
                 anys = g(any_l)
-                any_t = jnp.any(anys, axis=0)
+                any_t = jnp.any(anys, axis=0) & keep
                 multi_t = jnp.any(g(multi_l), axis=0) | \
                     (jnp.sum(anys.astype(jnp.int32), axis=0) >= 2)
                 ebc_t, eq_t = min_with_payload(
                     jnp.where(ebc_l >= 0, ebc_l + offset, BIGI), eq_l)
                 ebc_t = jnp.where(any_t, ebc_t, -1)
                 fwd_g.append((any_t, multi_t, ebc_t, eq_t))
-                r_t = jnp.any(g(rc_l[t]), axis=0)
+                r_t = jnp.any(g(rc_l[t]), axis=0) & keep
                 rc_g.append(r_t)
                 tier_hit = tier_hit | any_t | r_t
             tiers = (fwd_g, rc_g)

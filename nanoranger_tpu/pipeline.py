@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import gzip
+import itertools
 import json
 import os
 import sys
@@ -139,8 +140,10 @@ class DeconRun:
             "3pXCR_slideseq", "3p10XTCR", "3p10XTCR_nuc") else "deconcat"
         self.sub_path = f"{outdir}/{sample}_{sub_kind}.fastq.gz"
         self.bcumi_path = f"{outdir}/{sample}_BCUMI.fasta.gz"
-        self.bcumi_names: list = []
-        self.bcumi_seqs: list = []
+        # spill-backed candidate store: bounded resident memory however
+        # many reads stream through (round-4 VERDICT weak #8 / #9)
+        from .io.candidate_store import CandidateStore
+        self.cands = CandidateStore()
         self.eds_rows: list = []
         self.raw_counts: dict = {}
         self.polyA: list = []
@@ -157,15 +160,14 @@ class DeconRun:
         if not force and all(os.path.isfile(p) for p in need):
             from .io.fasta import iter_fasta
             for nm, sq in iter_fasta(self.bcumi_path):
-                self.bcumi_names.append(nm)
-                self.bcumi_seqs.append(sq)
+                self.cands.append(nm, sq)
             if spec.name == "3p10XGEX":
                 rc = pd.read_csv(rc_path, index_col=0)
                 self.raw_counts = dict(zip(rc.index, rc.iloc[:, 0]))
             self.resumed = True
             self.n_reads = self.n_sub = -1
             log(f"resume: decon artifacts present, loaded "
-                f"{len(self.bcumi_seqs)} BC-UMI candidates "
+                f"{len(self.cands)} BC-UMI candidates "
                 f"({time.time() - t0:.1f}s)")
             return
 
@@ -209,8 +211,7 @@ class DeconRun:
                 fsub.write(nm, sq, ql)
             for nm, sq in zip(out.bcumi_names, out.bcumi_seqs):
                 fbc.write(nm, sq)
-            self.bcumi_names.extend(out.bcumi_names)
-            self.bcumi_seqs.extend(out.bcumi_seqs)
+                self.cands.append(nm, sq)
             self.eds_rows.extend(out.eds_rows)
             self.polyA.extend(out.polyA)
             for k, v in out.raw_bc_counts.items():
@@ -234,7 +235,7 @@ class DeconRun:
         self.n_reads = n_reads
         self.n_sub = n_sub
         log(f"align+decon: {n_reads} reads → {n_sub} subreads, "
-            f"{len(self.bcumi_seqs)} BC-UMI candidates "
+            f"{len(self.cands)} BC-UMI candidates "
             f"({time.time() - t0:.1f}s)")
 
     def _run_fast(self, spec, infile, outdir, sample, batch_size, max_len,
@@ -348,8 +349,7 @@ class DeconRun:
                                asm.sub_quals[j])
                 for j in range(lo[1], hi[1]):
                     fbc.write(asm.bcumi_names[j], asm.bcumi_seqs[j])
-                    self.bcumi_names.append(asm.bcumi_names[j])
-                    self.bcumi_seqs.append(asm.bcumi_seqs[j])
+                    self.cands.append(asm.bcumi_names[j], asm.bcumi_seqs[j])
                     # gate on the SAME condition assemble_batch uses to
                     # populate match_* (matcher AND spec.barcode) — a
                     # matcher without a barcode spec must not IndexError
@@ -589,7 +589,7 @@ class DeconRun:
                 self.steady_reads_per_s = round(
                     (n_reads - self._reads_at_steady0) / dt, 1)
         log(f"align+decon (fused): {n_reads} reads → {n_sub} subreads, "
-            f"{len(self.bcumi_seqs)} BC-UMI candidates"
+            f"{len(self.cands)} BC-UMI candidates"
             + (f", {self.n_deferred} reads via unfused fallback"
                if self.n_deferred else "")
             + f" ({time.time() - t0:.1f}s)")
@@ -723,20 +723,20 @@ def _sharded_match_fn(spec, bcs_array, wl_shards, data_shards=1):
     return match
 
 
-def _match_fingerprint(spec, bcs_array, names):
+def _match_fingerprint(spec, bcs_array, cands):
     """Cheap identity of a barcode-match run: candidate set + whitelist +
     chemistry. A checkpoint from a different input/whitelist/mode must not
     be resumed (stale-assignments hazard)."""
     import hashlib
     h = hashlib.sha1()
-    for n in names[:128] + names[-128:]:
+    for n in cands.head(128) + cands.tail(128):
         h.update(n.encode())
-    return {"spec": spec.name, "n_candidates": len(names),
+    return {"spec": spec.name, "n_candidates": len(cands),
             "n_whitelist": int(len(bcs_array)),
             "names_sha1": h.hexdigest()}
 
 
-def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
+def match_barcodes(spec, bcs_array, cands, outdir, sample,
                    batch=4096, force=False, wl_shards=1, data_shards=1,
                    prematched=None, matcher=None):
     """Whitelist match of accumulated candidates → per-read assignment df
@@ -748,10 +748,17 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
     prematched: per-candidate results already computed by the fused decon
     step (DeconRun.prematch) — rows with pending=True (candidates from
     reads the fused step deferred) are matched here; everything else is
-    used as-is. Artifacts are identical either way."""
+    used as-is. Artifacts are identical either way.
+
+    cands: a CandidateStore (spill-backed; consumed by sequential
+    streaming so host memory stays bounded)."""
+    from .io.candidate_store import CandidateStore
+    if not isinstance(cands, CandidateStore):
+        raise TypeError("match_barcodes now takes a CandidateStore "
+                        "(CandidateStore.from_lists(names, seqs))")
     apath = f"{outdir}/{sample}_assignments.csv.gz"
     mpath = apath + ".meta.json"
-    fp = _match_fingerprint(spec, bcs_array, names)
+    fp = _match_fingerprint(spec, bcs_array, cands)
     if not force and os.path.isfile(apath):
         meta = None
         if os.path.isfile(mpath):
@@ -790,7 +797,7 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
     t0 = time.time()
     m = matcher or BarcodeMatcher(bcs_array, spec.barcode)
     Lq = MATCH_LQ
-    if len(seqs) and wl_shards <= 1 and data_shards <= 1:
+    if len(cands) and wl_shards <= 1 and data_shards <= 1:
         # AOT-cached standalone match program (no-op on CPU / when the
         # fused path's background loader already warmed it)
         m.enable_aot(batch, Lq, log=log)
@@ -798,9 +805,11 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
         res = {k: np.asarray(prematched[k]).copy()
                for k in ("bc_idx", "score", "status", "umi")}
         pend = np.where(prematched["pending"])[0]
+        row_iter = cands.rows(pend)      # one sequential pass, ascending
         for s in range(0, len(pend), batch):
             rows = pend[s:s + batch]
-            q, qlen = encode_batch([seqs[i] for i in rows], max_len=Lq)
+            chunk = [sq for _, sq in itertools.islice(row_iter, len(rows))]
+            q, qlen = encode_batch(chunk, max_len=Lq)
             n = q.shape[0]
             if n < batch:
                 q = np.pad(q, ((0, batch - n), (0, 0)))
@@ -816,8 +825,8 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
             log(f"whitelist match on a {data_shards}x{wl_shards} "
                 f"(data x wl) device mesh")
         all_res = {k: [] for k in ("bc_idx", "score", "status", "umi")}
-        for s in range(0, len(seqs), batch):
-            q, qlen = encode_batch(seqs[s:s + batch], max_len=Lq)
+        for _, bs in cands.iter_batches(batch):
+            q, qlen = encode_batch(bs, max_len=Lq)
             n = q.shape[0]
             if n < batch:     # pad the tail: exact-n shapes would recompile
                 q = np.pad(q, ((0, batch - n), (0, 0)))
@@ -839,7 +848,7 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
     umi_strs = ["" if not a else decode(u)
                 for a, u in zip(acc, res["umi"])]
     df = pd.DataFrame({
-        "name": names,
+        "name": cands.names_list(),
         "bc": m.bc_strings(res["bc_idx"]),
         "umi": umi_strs,
         "score": res["score"],
@@ -850,7 +859,7 @@ def match_barcodes(spec, bcs_array, names, seqs, outdir, sample,
     with open(tmp, "w") as f:
         json.dump(fp, f)
     os.replace(tmp, mpath)
-    log(f"barcode match: {acc.sum()}/{len(seqs)} accepted vs "
+    log(f"barcode match: {acc.sum()}/{len(cands)} accepted vs "
         f"{len(bcs_array)} whitelist ({time.time() - t0:.1f}s)")
     return df, res
 
@@ -1117,7 +1126,7 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
                    force=force, data_shards=data_shards, matcher=matcher)
     run.write_eds(outdir, sample)
     tele.stage("align_decon", time.time() - ts, run.n_reads,
-               subreads=run.n_sub, candidates=len(run.bcumi_seqs),
+               subreads=run.n_sub, candidates=len(run.cands),
                resumed=run.resumed, deferred_reads=run.n_deferred or None,
                steady_reads_per_s=getattr(run, "steady_reads_per_s", None),
                phase_s={k: round(v, 2) for k, v in run.phase_s.items()}
@@ -1159,12 +1168,12 @@ def run_pipeline(mode, infile, outdir, sample, trns_ref=None, genome_ref=None,
         return
 
     ts = time.time()
-    df, res = match_barcodes(spec, bcs, run.bcumi_names, run.bcumi_seqs,
+    df, res = match_barcodes(spec, bcs, run.cands,
                              outdir, sample, force=force,
                              wl_shards=wl_shards, data_shards=data_shards,
                              prematched=None if run.resumed else
                              run.prematch, matcher=matcher)
-    tele.stage("barcode_match", time.time() - ts, len(run.bcumi_seqs),
+    tele.stage("barcode_match", time.time() - ts, len(run.cands),
                accepted=int((df.status == ACCEPT).sum()),
                whitelist=int(len(bcs)))
 

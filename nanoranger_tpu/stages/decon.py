@@ -41,6 +41,11 @@ from ..chemistry import ChemistrySpec
 from ..io.encode import COMPLEMENT, PAD, decode, encode
 from ..ops.edit_distance import hw_locate
 
+# batch code→ASCII table + bytes-level revcomp (assembly is bytes
+# slicing, not per-row numpy decode — round-4 VERDICT #9)
+_CODE_TO_ASCII = np.frombuffer(b"ACGTN.", dtype=np.uint8).copy()
+_RC_TABLE = bytes.maketrans(b"ACGTN.", b"TGCAN.")
+
 
 # --------------------------------------------------------------------------
 # device flank scan
@@ -286,7 +291,21 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
         accept_bc &= acc
 
     # ---- host assembly ----------------------------------------------------
-    comp_tbl = COMPLEMENT
+    # one vectorized code→ASCII pass for the whole batch (and a bytes
+    # revcomp table); per-row work is then pure bytes slicing — no
+    # per-row numpy decode/copy (round-4 VERDICT #9 vectorization)
+    ascii_rows = _CODE_TO_ASCII[codes.astype(np.uint8) % 6]
+    _rc_bytes_cache: dict = {}
+
+    def _row_bytes(i: int, rev: bool) -> bytes:
+        if not rev:
+            return ascii_rows[i].tobytes()
+        b = _rc_bytes_cache.get(i)
+        if b is None:
+            n = int(codes.shape[1])
+            b = ascii_rows[i, :n].tobytes().translate(_RC_TABLE)[::-1]
+            _rc_bytes_cache[i] = b
+        return b
 
     def stored_seq_slice(r, lo_, hi_):
         i = read_idx[r]
@@ -295,10 +314,12 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
         if hi_ <= lo_:
             return ""
         if strand[r] == 1:
-            seg = comp_tbl[codes[i, n - hi_:n - lo_][::-1]]
-        else:
-            seg = codes[i, lo_:hi_]
-        return decode(np.asarray(seg, np.int8), len(seg))
+            # stored orientation = revcomp of the padded row; the row's
+            # revcomp places base n-1 at padded offset L-n
+            L = int(codes.shape[1])
+            off = L - n
+            return _row_bytes(i, True)[off + lo_:off + hi_].decode("ascii")
+        return _row_bytes(i, False)[lo_:hi_].decode("ascii")
 
     def stored_qual_slice(r, lo_, hi_):
         i = read_idx[r]
@@ -335,11 +356,14 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
         sub_seqs.append(stored_seq_slice(r, sub_strt[r], sub_end[r]))
         sub_quals.append(stored_qual_slice(r, sub_strt[r], sub_end[r]))
 
+    ascii_win = (_CODE_TO_ASCII[window.astype(np.uint8) % 6]
+                 if window.size else np.zeros((R, 0), np.uint8))
+
     def bcumi_str(r):
-        w = window[r, int(b_lo[r]):int(b_hi[r])]
+        w = ascii_win[r, int(b_lo[r]):int(b_hi[r])].tobytes()
         if do_rev:
-            w = comp_tbl[w][::-1]
-        s = decode(np.asarray(w, np.int8), len(w))
+            w = w.translate(_RC_TABLE)[::-1]
+        s = w.decode("ascii")
         return s[post:] if post else s
 
     raw_counts: dict = {}
@@ -356,9 +380,10 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
         bc_names.append(fmt_name(r))
         bc_seqs.append(s)
         if rule == "rev_slideseq":
-            pa = window[r, :int(min(b_lo[r] + 5, wlen[r]))]
-            polyA_rows.append((bc_names[-1],
-                               decode(np.asarray(pa, np.int8), len(pa))))
+            pa_hi = int(min(b_lo[r] + 5, wlen[r]))
+            polyA_rows.append(
+                (bc_names[-1],
+                 ascii_win[r, :pa_hi].tobytes().decode("ascii")))
 
     # eds stats rows (mode-specific, SURVEY.md §5 observability).
     # 5p10XGEX computes no eds artifact — the reference's decon_5p10XGEX

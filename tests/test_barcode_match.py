@@ -149,3 +149,156 @@ def test_exact_window_star_semantics(matcher):
     assert r["status"][2] == MULTIMAP
     assert r["status"][3] == ACCEPT and r["bc_idx"][3] == 100
     assert r["score"][3] == 16
+
+
+def test_cuckoo_tables_match_sorted_lookup(rng):
+    """Cuckoo probe == sorted-key binary search on every window key
+    (round-5 TPU lookup redesign)."""
+    import jax.numpy as jnp
+
+    from nanoranger_tpu.stages.barcode import build_cuckoo, cuckoo_lookup
+
+    keys = np.unique(rng.integers(0, 2**32, size=5000, dtype=np.uint32))
+    vals = np.arange(len(keys), dtype=np.int32)
+    tk, tv, lg = build_cuckoo(keys, vals)
+    # every inserted key found with its value
+    found, got = cuckoo_lookup(jnp.asarray(keys), jnp.asarray(tk),
+                               jnp.asarray(tv), lg)
+    assert np.asarray(found).all()
+    np.testing.assert_array_equal(np.asarray(got), vals)
+    # absent keys (not in the set) report not-found
+    probe = rng.integers(0, 2**32, size=20000, dtype=np.uint32)
+    absent = probe[~np.isin(probe, keys)]
+    found, got = cuckoo_lookup(jnp.asarray(absent), jnp.asarray(tk),
+                               jnp.asarray(tv), lg)
+    assert not np.asarray(found).any()
+    assert (np.asarray(got) == -1).all()
+
+
+def test_tier_hits_cuckoo_equals_sorted(matcher, rng):
+    """Full-class tier enumeration with cuckoo lookup == with
+    searchsorted, on real whitelist keys."""
+    import jax.numpy as jnp
+
+    from nanoranger_tpu.stages.barcode import (N_TIERS, build_cuckoo,
+                                               tier_hits)
+
+    s = matcher.spec
+    ks, idx, _ = matcher._ex_np
+    tk, tv, lg = build_cuckoo(ks, idx)
+    seqs = []
+    for i in range(64):
+        bc = matcher.barcodes[rng.integers(0, len(matcher.barcodes))]
+        u = "".join(rng.choice(list("ACGT"), 10))
+        b = list(bc)
+        if i % 3 == 1:
+            b[5] = "A" if b[5] != "A" else "C"          # 1-sub
+        if i % 3 == 2:
+            b.insert(7, "G")                            # 1-ins
+        seqs.append(ADAPTER + "".join(b) + u + "TTTCT")
+    q, qlen = encode_batch(seqs, max_len=64)
+    q, qlen = jnp.asarray(q), jnp.asarray(qlen)
+    a = tier_hits(q, qlen, jnp.asarray(ks), jnp.asarray(idx), s.bc_len,
+                  s.pad_left, s.pad_right)
+    b = tier_hits(q, qlen, jnp.asarray(ks), jnp.asarray(idx), s.bc_len,
+                  s.pad_left, s.pad_right,
+                  cuckoo=(jnp.asarray(tk), jnp.asarray(tv), lg))
+    for k in range(N_TIERS):
+        for x, y in zip(a[k], b[k]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_staged_match_equals_host_path(rng):
+    """The staged TPU orchestration (_match_tpu: exact pass → compacted
+    full pass → compacted DP → combine) must be bit-identical to the
+    host/full path.  Runs on CPU with a small whitelist (the staging
+    logic is backend-independent)."""
+    bcs = whitelist.load_txt(REF_WL)[:300]
+    spec = chemistry.get("5p10XGEX").barcode
+    m = BarcodeMatcher(bcs, spec)
+    seqs = []
+    for i in range(48):
+        bc = bcs[rng.integers(0, len(bcs))]
+        u = "".join(rng.choice(list("ACGT"), 10))
+        if i % 5 == 4:
+            seqs.append("".join(rng.choice(list("ACGT"), 40)))   # junk → DP
+        elif i % 5 == 3:
+            b = list(bc)
+            b[3] = "A" if b[3] != "A" else "C"                   # 1-sub
+            seqs.append(ADAPTER + "".join(b) + u + "TTTCT")
+        else:
+            seqs.append(ADAPTER + bc + u + "TTTCTTATAT")
+    q, qlen = encode_batch(seqs, max_len=64)
+    ref = m._match_host(q, qlen)
+    got = m._match_tpu(q, np.asarray(qlen, np.int32))
+    for k in ("bc_idx", "score", "status", "umi"):
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+
+
+def test_fast_pass_verdicts_subset_of_full(rng):
+    """dp=False (fused-step exact pass): every non-DP_PENDING verdict
+    equals the full match; every candidate without a forward tier-16
+    hit pends."""
+    import jax.numpy as jnp
+
+    from nanoranger_tpu.stages.barcode import DP_PENDING
+
+    bcs = whitelist.load_txt(REF_WL)[:500]
+    spec = chemistry.get("5p10XGEX").barcode
+    m = BarcodeMatcher(bcs, spec)
+    t = m.device_tables()
+    seqs = []
+    for i in range(32):
+        bc = bcs[rng.integers(0, len(bcs))]
+        u = "".join(rng.choice(list("ACGT"), 10))
+        if i % 4 == 3:
+            b = list(bc)
+            b[8] = "A" if b[8] != "A" else "C"
+            seqs.append(ADAPTER + "".join(b) + u + "TTTCT")
+        else:
+            seqs.append(ADAPTER + bc + u + "TTTCTTATAT")
+    q, qlen = encode_batch(seqs, max_len=64)
+    q, qlen = jnp.asarray(q), jnp.asarray(qlen)
+    bc_f, sc_f, st_f, umi_f, _ = m.match_device_with(q, qlen, t, dp=False)
+    full = m._match_host(np.asarray(q), np.asarray(qlen))
+    st_f = np.asarray(st_f)
+    done = st_f != DP_PENDING
+    assert done.any() and (~done).any()
+    np.testing.assert_array_equal(np.asarray(bc_f)[done],
+                                  full["bc_idx"][done])
+    np.testing.assert_array_equal(st_f[done], full["status"][done])
+    np.testing.assert_array_equal(np.asarray(sc_f)[done],
+                                  full["score"][done])
+    np.testing.assert_array_equal(np.asarray(umi_f)[done],
+                                  full["umi"][done])
+
+
+def test_boundary_truncated_tie_multimaps(rng):
+    """Round-5 exactness fix: STAR's DP enters/exits the core for FREE
+    at the query boundaries, so a 1-truncated core anchored at the query
+    edge (+1 insertion) scores m-2 — outside the interior edit classes.
+    Found on nuc_synthetic parity (2/900): engine accepted while the
+    exhaustive arbiter saw a score-14 tie.  Such candidates must route
+    to the DP and multimap-drop."""
+    spec = chemistry.get("3p10XTCR_nuc").barcode
+    cand = "ATCGTACAGTGATCGAACAGGGTAGCTTGCTG"
+    tie_a = "GATCGTACAGGATCGA"      # core[1:] + 1 ins anchored at start
+    tie_b = "TACAGTGGTCGAACAG"      # interior 1-del structure
+    fillers = sorted({"".join(rng.choice(list("ACGT"), 16))
+                      for _ in range(60)} - {tie_a, tie_b})
+    wl_arr = np.asarray(sorted([tie_a, tie_b] + fillers))
+    m = BarcodeMatcher(wl_arr, spec)
+    q, qlen = encode_batch([cand], max_len=64)
+    r_host = m._match_host(q, np.asarray(qlen, np.int32))
+    assert r_host["status"][0] == MULTIMAP, r_host
+    assert r_host["score"][0] == 14
+    r_staged = m._match_tpu(q, np.asarray(qlen, np.int32))
+    for k in ("bc_idx", "score", "status"):
+        assert r_staged[k][0] == r_host[k][0], (k, r_staged, r_host)
+    # without the competing boundary row the interior structure is
+    # unique at 14 -> engine accepts (no over-flagging of the verdict)
+    wl2 = np.asarray(sorted([tie_b] + fillers))
+    m2 = BarcodeMatcher(wl2, spec)
+    r2 = m2._match_host(q, np.asarray(qlen, np.int32))
+    assert r2["status"][0] in (ACCEPT, BAD_UMI)
+    assert r2["score"][0] == 14

@@ -101,8 +101,9 @@ def test_missing_whitelist_clear_error(tmp_path):
 
 def test_clonotype_exports_atomic(tmp_path):
     from nanoranger_tpu.vdj.clonotype import CLONE_COLUMNS, write_exports
-    clones = pd.DataFrame([[0, 2.0, "TRB", "CASSF", "TGTGC", "TRBV1*00(10)",
-                            "", "TRBJ*00(5)", "TRBC2*00(5)"]],
+    clones = pd.DataFrame([[0, 2.0, "TRB", "TGTGCTTT", "CASSF", "TGTGC",
+                            "TRBV1*00(10)", "", "TRBJ*00(5)",
+                            "TRBC2*00(5)"]],
                           columns=CLONE_COLUMNS)
     cid = pd.DataFrame({"descrsR1": ["r1", "r2"], "cloneId": [0, 0],
                         "chains": ["TRB", "TRB"]})
@@ -115,6 +116,7 @@ def test_clonotype_exports_atomic(tmp_path):
 
 
 def test_match_resume_fingerprint(tmp_path, rng):
+    from nanoranger_tpu.io.candidate_store import CandidateStore
     from nanoranger_tpu.pipeline import match_barcodes
     spec = chemistry.get("5p10XGEX")
     wl_a = np.asarray(sorted({"".join(rng.choice(list("ACGT"), 16))
@@ -128,10 +130,11 @@ def test_match_resume_fingerprint(tmp_path, rng):
         names.append(f"c{i}_0_10_0_G")
         seqs.append("CGCTCTTCCGATCT" + bc + umi + "TTTCTTATATG")
     d = str(tmp_path)
-    df1, res1 = match_barcodes(spec, wl_a, names, seqs, d, "s")
+    cands = CandidateStore.from_lists(names, seqs)
+    df1, res1 = match_barcodes(spec, wl_a, cands, d, "s")
     assert "bc_idx" in res1
     # same fingerprint → resumed, and the resumed dict carries bc_idx
-    df2, res2 = match_barcodes(spec, wl_a, names, seqs, d, "s")
+    df2, res2 = match_barcodes(spec, wl_a, cands, d, "s")
     assert "bc_idx" in res2
     np.testing.assert_array_equal(res1["bc_idx"], res2["bc_idx"])
     pd.testing.assert_frame_equal(
@@ -139,7 +142,7 @@ def test_match_resume_fingerprint(tmp_path, rng):
         check_dtype=False)
     m1 = os.path.getmtime(tmp_path / "s_assignments.csv.gz")
     # different whitelist → fingerprint mismatch → recomputed checkpoint
-    match_barcodes(spec, wl_b, names, seqs, d, "s")
+    match_barcodes(spec, wl_b, cands, d, "s")
     assert os.path.getmtime(tmp_path / "s_assignments.csv.gz") > m1
 
 

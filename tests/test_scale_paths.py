@@ -90,3 +90,64 @@ def test_many_transcript_index_build(rng):
            for k in range(len(rec)) if rec.flag[k] < 2048}
     for row, t in enumerate(targets):
         assert got.get(row) == t, (row, t, got)
+
+
+def test_candidate_store_spills_and_streams(tmp_path):
+    """Spill-backed candidate store (round-4 VERDICT #9): resident buffer
+    stays bounded by the chunk size however many candidates stream in;
+    every read-side API reproduces the appended order exactly."""
+    from nanoranger_tpu.io.candidate_store import CandidateStore
+
+    st = CandidateStore(chunk=100, tmpdir=str(tmp_path))
+    names = [f"read{i}_0_50_0_GENE{i % 7}" for i in range(1037)]
+    seqs = [f"ACGT{i:04d}" for i in range(1037)]
+    for nm, sq in zip(names, seqs):
+        st.append(nm, sq)
+        assert st.buffered <= 100          # resident set bounded
+    assert len(st) == 1037
+    assert st.spilled_chunks == 10         # 1000 rows on disk, 37 resident
+
+    # sequential streams reproduce order
+    got_n, got_s = [], []
+    for bn, bs in st.iter_batches(64):
+        got_n.extend(bn)
+        got_s.extend(bs)
+    assert got_n == names and got_s == seqs
+
+    # head/tail (fingerprint path) and sparse ascending row access
+    assert st.head(3) == names[:3]
+    assert st.tail(5) == names[-5:]
+    idx = [0, 99, 100, 512, 1036]
+    assert [nm for nm, _ in st.rows(idx)] == [names[i] for i in idx]
+    assert st.names_list() == names
+
+    st.close()
+    assert st.spilled_chunks == 0
+
+
+def test_match_barcodes_streams_from_store(tmp_path, rng):
+    """match_barcodes over a spilled store == over an in-memory store
+    (byte-identical assignment table)."""
+    from nanoranger_tpu.io.candidate_store import CandidateStore
+    from nanoranger_tpu.pipeline import match_barcodes
+
+    spec = chemistry.get("5p10XGEX")
+    wl = _mk_bcs(rng, 40)
+    names, seqs = [], []
+    for i in range(57):
+        bc = wl[i % len(wl)]
+        umi = "".join(rng.choice(list("ACGT"), 10))
+        names.append(f"c{i}_0_10_0_G")
+        seqs.append("CGCTCTTCCGATCT" + bc + umi + "TTTCTTATATG")
+    small = CandidateStore(chunk=16, tmpdir=str(tmp_path))   # forces spills
+    small.extend(names, seqs)
+    assert small.spilled_chunks >= 3
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    import os
+    os.makedirs(d1), os.makedirs(d2)
+    df1, res1 = match_barcodes(spec, wl, small, d1, "s", batch=16)
+    df2, res2 = match_barcodes(
+        spec, wl, CandidateStore.from_lists(names, seqs), d2, "s", batch=16)
+    import pandas as pd
+    pd.testing.assert_frame_equal(df1, df2)
+    np.testing.assert_array_equal(res1["bc_idx"], res2["bc_idx"])

@@ -453,6 +453,13 @@ def main():
     a = ap.parse_args()
     report = {"n_reads": a.n_reads, "whitelist": "737K-august-2016",
               "samples": {}}
+    if os.path.isfile(a.out):
+        # subset regens (e.g. --samples nuc_synthetic) keep the other
+        # samples' checked-in results
+        with open(a.out) as f:
+            prev = json.load(f)
+        if prev.get("n_reads") == a.n_reads:
+            report["samples"].update(prev.get("samples", {}))
     for sample in a.samples.split(","):
         rep = run_sample(sample, a.n_reads)
         report["samples"][sample] = rep
