@@ -161,70 +161,106 @@ def verify_all_xla(q, qlen, coreT, r_valid, pad_left, pad_right,
 # scalars, so forward rows and revcomp'd rows run in one launch.
 
 def _verify_kernel(q_ref, qlen_ref, pl_ref, pr_ref, rv_ref, core_ref,
-                   best_ref, idx_ref, ties_ref, *, m, RB, C, Cp):
+                   best_ref, idx_ref, ties_ref, *, m, RB, Cp, G):
+    """Grouped one-vs-all DP: G candidates stacked along sublanes — the
+    state is (G*m, RB), so every vector op advances G candidates at
+    once.  The original one-candidate-at-a-time formulation ran a ~16-op
+    dependent chain on (m, RB)=16-vreg tiles each query step (latency-
+    bound, ~5% VPU utilization); stacking widens each op G-fold and
+    amortizes the chain across the group.  The per-step row-max for the
+    end-anywhere term is also gone: H at t==qlen is CAPTURED into Hq
+    (one select/step) and reduced once after the loop."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rb = pl.program_id(0)
-    core = core_ref[...]                                   # (m, RB) int32
+    core1 = core_ref[...]                                  # (m, RB) int32
+    core = jnp.concatenate([core1] * G, axis=0)            # (G*m, RB)
     r_valid = rv_ref[0, 0]
-    iota0 = jax.lax.broadcasted_iota(jnp.int32, (m, RB), 0)
-    jvec = iota0 + 1
+    GM = G * m
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (GM, RB), 0)
+    jrow = iota0 % m
+    jvec = jrow + 1
+    lastrow = jrow == (m - 1)
     core_neutral = core == N_CODE
     core_pad = core == PAD_CODE
     gcol = jax.lax.broadcasted_iota(jnp.int32, (1, RB), 1) + rb * RB
     live = gcol < r_valid
     BIG = jnp.int32(1 << 30)
     ciota = jax.lax.broadcasted_iota(jnp.int32, (Cp, 1), 0)
+    grow1 = jax.lax.broadcasted_iota(jnp.int32, (GM, 1), 0) // m
+    gcol2 = jax.lax.broadcasted_iota(jnp.int32, (GM, RB), 1) + rb * RB
 
-    def one_candidate(c, accs):
+    def one_group(grp, accs):
         acc_b, acc_i, acc_t = accs
-        qlen = qlen_ref[c, 0]
-        PL = pl_ref[c, 0]
-        PR = pr_ref[c, 0]
-        H0 = jnp.zeros((m, RB), jnp.int32)
-        best_a0 = jnp.where(qlen == 0, 0, NEG) * jnp.ones((1, RB),
-                                                          jnp.int32)
-        best_b0 = (-jnp.maximum(qlen - PR, 0)) * jnp.ones((1, RB),
-                                                          jnp.int32)
+        qlen_v = jnp.zeros((GM, 1), jnp.int32)
+        pl_v = jnp.zeros((GM, 1), jnp.int32)
+        pr_v = jnp.zeros((GM, 1), jnp.int32)
+        qmax = jnp.int32(0)
+        for k in range(G):
+            c = grp * G + k
+            ql = qlen_ref[c, 0]
+            qlen_v = jnp.where(grow1 == k, ql, qlen_v)
+            pl_v = jnp.where(grow1 == k, pl_ref[c, 0], pl_v)
+            pr_v = jnp.where(grow1 == k, pr_ref[c, 0], pr_v)
+            qmax = jnp.maximum(qmax, ql)
+        H0 = jnp.zeros((GM, RB), jnp.int32)
+        Hq0 = jnp.full((GM, RB), NEG, jnp.int32)
+        bb0 = jnp.zeros((GM, RB), jnp.int32) - jnp.maximum(
+            qlen_v - pr_v, 0)
 
         def step(t, carry):
-            H, best_a, best_b = carry
-            qt = q_ref[c, t - 1]
-            s = jnp.where(core == qt, 1, -1)
-            s = jnp.where(core_neutral | (qt == N_CODE), 0, s)
-            s = jnp.where(core_pad | (qt == PAD_CODE), -1, s)
-            b_prev = -jnp.maximum((t - 1) - PL, 0)
-            b_cur = -jnp.maximum(t - PL, 0)
+            H, Hq, bb = carry
+            qt_v = jnp.zeros((GM, 1), jnp.int32)
+            for k in range(G):
+                qt_v = jnp.where(grow1 == k, q_ref[grp * G + k, t - 1],
+                                 qt_v)
+            s = jnp.where(core == qt_v, 1, -1)
+            s = jnp.where(core_neutral | (qt_v == N_CODE), 0, s)
+            s = jnp.where(core_pad | (qt_v == PAD_CODE), -1, s)
+            b_prev = -jnp.maximum((t - 1) - pl_v, 0)
+            b_cur = -jnp.maximum(t - pl_v, 0)
             diag = pltpu.roll(H, 1, axis=0)
-            diag = jnp.where(iota0 == 0, b_prev, diag)
+            diag = jnp.where(jrow == 0, b_prev, diag)
             A = jnp.maximum(jnp.maximum(diag + s, H - 1) + jvec, b_cur)
             sh = 1
             while sh < m:
                 rolled = pltpu.roll(A, sh, axis=0)
-                A = jnp.maximum(A, jnp.where(iota0 >= sh, rolled, NEG))
+                A = jnp.maximum(A, jnp.where(jrow >= sh, rolled, NEG))
                 sh *= 2
             H = A - jvec
-            hmax = jnp.maximum(jnp.max(H, axis=0, keepdims=True), b_cur)
-            best_a = jnp.where(t == qlen, jnp.maximum(best_a, hmax),
-                               best_a)
-            comp = -jnp.maximum((qlen - t) - PR, 0)
-            best_b = jnp.maximum(best_b, H[m - 1:m, :] + comp)
-            return H, best_a, best_b
+            Hq = jnp.where(t == qlen_v, H, Hq)
+            comp = -jnp.maximum(qlen_v - t - pr_v, 0)
+            bb = jnp.maximum(bb, jnp.where(lastrow, H + comp, NEG))
+            return H, Hq, bb
 
-        _, best_a, best_b = jax.lax.fori_loop(
-            1, qlen + 1, step, (H0, best_a0, best_b0))
-        sc = jnp.where(live, jnp.maximum(best_a, best_b), NEG)
-        bb = jnp.max(sc)
-        is_best = sc == bb
-        nt = jnp.sum(is_best.astype(jnp.int32))
-        ix = jnp.min(jnp.where(is_best, gcol, BIG))
-        sel = ciota == c
-        return (jnp.where(sel, bb, acc_b), jnp.where(sel, ix, acc_i),
-                jnp.where(sel, nt, acc_t))
+        _, Hq, bb = jax.lax.fori_loop(1, qmax + 1, step, (H0, Hq0, bb0))
+        # group-max of Hq via one masked roll chain; row m-1 of each
+        # group then holds max_j H_qlen[j]
+        Aq = Hq
+        sh = 1
+        while sh < m:
+            rolled = pltpu.roll(Aq, sh, axis=0)
+            Aq = jnp.maximum(Aq, jnp.where(jrow >= sh, rolled, NEG))
+            sh *= 2
+        b_at_q = -jnp.maximum(qlen_v - pl_v, 0)
+        sc = jnp.maximum(jnp.maximum(Aq, b_at_q), bb)
+        sc = jnp.where(qlen_v == 0, 0, sc)
+        sc = jnp.where(live & lastrow, sc, NEG)
+        bbv = jnp.max(sc, axis=1, keepdims=True)            # (GM, 1)
+        isb = (sc == bbv) & (bbv > NEG)
+        nt = jnp.sum(jnp.where(isb, 1, 0), axis=1, keepdims=True)
+        ix = jnp.min(jnp.where(isb, gcol2, BIG), axis=1, keepdims=True)
+        for k in range(G):
+            r = k * m + (m - 1)
+            selc = ciota == (grp * G + k)
+            acc_b = jnp.where(selc, bbv[r, 0], acc_b)
+            acc_i = jnp.where(selc, ix[r, 0], acc_i)
+            acc_t = jnp.where(selc, nt[r, 0], acc_t)
+        return acc_b, acc_i, acc_t
 
     z = jnp.zeros((Cp, 1), jnp.int32)
-    acc_b, acc_i, acc_t = jax.lax.fori_loop(0, C, one_candidate,
+    acc_b, acc_i, acc_t = jax.lax.fori_loop(0, Cp // G, one_group,
                                             (z + NEG, z, z))
     best_ref[0] = acc_b
     idx_ref[0] = acc_i
@@ -258,7 +294,13 @@ def _verify_pallas_chunk(q, qlen, pl_caps, pr_caps, coreT, r_valid, RB,
     from jax.experimental.pallas import tpu as pltpu
 
     C, Lq = q.shape
-    Cp = -(-C // 8) * 8
+    G = 8
+    Cp = -(-C // G) * G
+    if Cp != C:        # pad candidates to whole groups (qlen 0, ignored)
+        q = jnp.pad(q, ((0, Cp - C), (0, 0)))
+        qlen = jnp.pad(qlen, (0, Cp - C))
+        pl_caps = jnp.pad(pl_caps, (0, Cp - C))
+        pr_caps = jnp.pad(pr_caps, (0, Cp - C))
     m, R = coreT.shape
     NB = -(-R // RB)
     if NB * RB != R:
@@ -268,9 +310,9 @@ def _verify_pallas_chunk(q, qlen, pl_caps, pr_caps, coreT, r_valid, RB,
     smem = lambda r, w: pl.BlockSpec((r, w), lambda rb: (0, 0),
                                      memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
-        functools.partial(_verify_kernel, m=m, RB=RB, C=C, Cp=Cp),
+        functools.partial(_verify_kernel, m=m, RB=RB, Cp=Cp, G=G),
         grid=grid,
-        in_specs=[smem(C, Lq), smem(C, 1), smem(C, 1), smem(C, 1),
+        in_specs=[smem(Cp, Lq), smem(Cp, 1), smem(Cp, 1), smem(Cp, 1),
                   smem(1, 1),
                   pl.BlockSpec((m, RB), lambda rb: (0, rb),
                                memory_space=pltpu.VMEM)],
@@ -278,9 +320,9 @@ def _verify_pallas_chunk(q, qlen, pl_caps, pr_caps, coreT, r_valid, RB,
         out_specs=[pl.BlockSpec((1, Cp, 1), lambda rb: (rb, 0, 0),
                                 memory_space=pltpu.VMEM)] * 3,
         interpret=interpret,
-    )(q.astype(jnp.int32), qlen.astype(jnp.int32).reshape(C, 1),
-      pl_caps.astype(jnp.int32).reshape(C, 1),
-      pr_caps.astype(jnp.int32).reshape(C, 1),
+    )(q.astype(jnp.int32), qlen.astype(jnp.int32).reshape(Cp, 1),
+      pl_caps.astype(jnp.int32).reshape(Cp, 1),
+      pr_caps.astype(jnp.int32).reshape(Cp, 1),
       jnp.asarray(r_valid, jnp.int32).reshape(1, 1),
       coreT.astype(jnp.int32))
     best_b, idx_b, ties_b = (o[:, :C, 0].T for o in outs)  # (C, NB) each

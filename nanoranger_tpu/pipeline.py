@@ -270,6 +270,7 @@ class DeconRun:
         self._fallback_aligner = None
         BUCKETS = sorted({max(256, min(1024, max_len)),
                           max(256, min(2048, max_len)), max(256, max_len)})
+        BUCKETS_ARR = np.asarray(BUCKETS)
         if on_accel and os.environ.get("NANORANGER_AOT", "") != "0":
             # AOT executable cache: deterministic cold start (the jax
             # persistent cache keys are process-unstable for this program
@@ -525,22 +526,30 @@ class DeconRun:
             if batch is None:
                 break
             w = batch.codes.shape[1]
-            bl = np.asarray(batch.lengths)
-            for i in range(len(batch)):
-                Lr = min(int(bl[i]), max_len)
-                Lb = next(x for x in BUCKETS if x >= Lr)
-                a = acc[Lb]
-                k = a["n"]
-                w2 = min(w, Lb)
-                a["codes"][k, :w2] = batch.codes[i, :w2]
-                a["lengths"][k] = Lr
-                a["names"][k] = batch.names[i]
-                a["quals"][k] = batch.quals[i]
-                a["seq"][k] = next_seq
-                next_seq += 1
-                a["n"] = k + 1
-                if a["n"] == batch_size:
-                    dispatch(Lb)
+            bl = np.minimum(np.asarray(batch.lengths), max_len)
+            # vectorized bucket routing: one sliced copy per
+            # (bucket, contiguous run) instead of a per-read Python loop
+            bidx = np.searchsorted(BUCKETS_ARR, bl)
+            for b, Lb in enumerate(BUCKETS):
+                rows = np.nonzero(bidx == b)[0]
+                r0 = 0
+                while r0 < len(rows):
+                    a = acc[Lb]
+                    k = a["n"]
+                    take = min(batch_size - k, len(rows) - r0)
+                    sel = rows[r0:r0 + take]
+                    w2 = min(w, Lb)
+                    a["codes"][k:k + take, :w2] = batch.codes[sel, :w2]
+                    a["lengths"][k:k + take] = bl[sel]
+                    for j, i in enumerate(sel):
+                        a["names"][k + j] = batch.names[i]
+                        a["quals"][k + j] = batch.quals[i]
+                    a["seq"][k:k + take] = next_seq + sel
+                    a["n"] = k + take
+                    r0 += take
+                    if a["n"] == batch_size:
+                        dispatch(Lb)
+            next_seq += len(batch)
             in_batches += 1
             if in_batches % FLUSH_BATCHES == 0:
                 # anti-starvation: a rare bucket (long reads are ~1% of

@@ -26,10 +26,10 @@ with open(GOLDEN_PATH) as _f:
 # can never drift apart
 from tools.gen_real_goldens import CONFIGS, N_READS, run_one  # noqa: E402
 
-assert N_READS == GOLDEN["n_reads"], \
-    "goldens were generated with a different read count — regenerate"
-
-
+@pytest.mark.skipif(
+    N_READS != GOLDEN["n_reads"],
+    reason="NANORANGER_GOLDEN_READS differs from the checked-in goldens "
+           "(full corpus) — regenerate or unset for the parity run")
 @pytest.mark.parametrize("cfg", CONFIGS, ids=[c[0] for c in CONFIGS])
 def test_real_sample_end_to_end(cfg, tmp_path):
     sample, mode, trns, genome, bcs = cfg

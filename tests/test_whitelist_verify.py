@@ -93,3 +93,39 @@ def test_padded_rows_masked():
     assert best[0] == m and idx[0] == 2 and ties[0] == 1
     # empty candidate: trivial score 0 vs every REAL row, never the pads
     assert best[1] == 0 and ties[1] == R
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_grouped_kernel_interpret(seed):
+    """The grouped Pallas kernel (G candidates stacked along sublanes,
+    post-loop Hq reduction) vs the validated XLA one-vs-all, in pallas
+    interpret mode — covers group boundaries, short/empty queries, ties
+    and padded rows without TPU hardware."""
+    import jax.numpy as jnp
+
+    from nanoranger_tpu.ops.whitelist_verify import _verify_pallas
+
+    rng = np.random.default_rng(seed)
+    C, R, m, PL, PR, Lq = 13, 100, 16, 14, 20, 48   # C not a multiple of G
+    cores = np.array([[rng.integers(0, 4) for _ in range(m)]
+                      for _ in range(R)], np.int8)
+    q = np.full((C, Lq), PAD, np.int8)
+    qlen = np.zeros(C, np.int32)
+    for i in range(C):
+        n = int(rng.integers(0, Lq + 1))
+        s = [int(rng.integers(0, 4)) for _ in range(n)]
+        if n >= m and rng.random() < 0.6:
+            r = int(rng.integers(0, R))
+            pos = int(rng.integers(0, n - m + 1))
+            s[pos:pos + m] = list(cores[r])
+        q[i, :n] = s
+        qlen[i] = n
+    r_valid = R - 3                                  # mask 3 padded rows
+    ref = tuple(map(np.asarray, verify_all_xla(
+        q, qlen, cores.T.copy(), r_valid, PL, PR, r_chunk=16)))
+    got = tuple(map(np.asarray, _verify_pallas(
+        jnp.asarray(q), jnp.asarray(qlen),
+        jnp.full((C,), PL, jnp.int32), jnp.full((C,), PR, jnp.int32),
+        jnp.asarray(cores.T.copy()), r_valid, RB=32, interpret=True)))
+    for name, a, b in zip(("best", "idx", "ties"), got, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)
