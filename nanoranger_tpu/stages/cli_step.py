@@ -414,14 +414,16 @@ def build_cli_step(spec: ChemistrySpec, index: PanelIndex, matcher=None,
         if spec.bcumi_min_len:
             accept_bc &= (b_len - post) > spec.bcumi_min_len
         if rule == "rev_slideseq":
-            # post filter: len>45 and (polyA<70 or A-frac>0.5)
+            # post filter: len>45 and (polyA<70 or (polyA>70 and
+            # A-frac>0.5)) — the reference REJECTS a polyA of exactly 70
             # (utils.py:468-474); A-frac>0.5 as 2*count > len in ints
             pa_len = jnp.minimum(jnp.maximum(b_lo + 5, 0), wlen)
             jw = jnp.arange(Wmax, dtype=jnp.int32)[None, :]
             a_cnt = jnp.sum(((window == 0) &
                              (jw < pa_len[:, None])).astype(jnp.int32),
                             axis=1)
-            acc = (b_len > 45) & ((pa_len < 70) | (2 * a_cnt > pa_len))
+            acc = (b_len > 45) & ((pa_len < 70) |
+                                  ((pa_len > 70) & (2 * a_cnt > pa_len)))
             accept_bc &= acc
             out["pa_len"] = pa_len
 

@@ -287,7 +287,10 @@ def run_decon(spec: ChemistrySpec, codes: np.ndarray, lengths: np.ndarray,
         pa_hi = np.maximum(b_lo + 5, 0)          # dd[:upstart+5]
         select_len = b_len
         pa_len = np.minimum(pa_hi, wlen)
-        acc = (select_len > 45) & ((pa_len < 70) | _a_frac_ok(window, pa_len))
+        # reference condition is `<70 or (>70 and frac)` — a polyA of
+        # EXACTLY 70 is rejected unconditionally (utils.py:468-474)
+        acc = (select_len > 45) & \
+            ((pa_len < 70) | ((pa_len > 70) & _a_frac_ok(window, pa_len)))
         accept_bc &= acc
 
     # ---- host assembly ----------------------------------------------------

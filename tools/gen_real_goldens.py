@@ -113,15 +113,24 @@ def collect(outdir, s, mode):
 
 
 def main():
+    import sys
     out = {"n_reads": N_READS, "samples": {}}
-    for sample, mode, trns, genome, bcs in CONFIGS:
+    cfgs = CONFIGS
+    path = os.path.join(REPO, "tests", "goldens", "real_samples.json")
+    if len(sys.argv) > 1:          # subset regen: merge into existing
+        want = set(sys.argv[1].split(","))
+        cfgs = [c for c in CONFIGS if c[0] in want]
+        if os.path.isfile(path):
+            prev = json.load(open(path))
+            if prev.get("n_reads") == N_READS:
+                out["samples"].update(prev.get("samples", {}))
+    for sample, mode, trns, genome, bcs in cfgs:
         with tempfile.TemporaryDirectory() as d:
             print(f"== {sample} ({mode})", flush=True)
             out["samples"][sample] = {"mode": mode,
                                       **run_one(sample, mode, trns, genome,
                                                 bcs, d)}
             print(json.dumps(out["samples"][sample]), flush=True)
-    path = os.path.join(REPO, "tests", "goldens", "real_samples.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -221,13 +221,24 @@ def run_sample(sample, mode, trns, genome, bcs, n_reads, outroot):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-reads", type=int, default=1200)
+    ap.add_argument("--samples", default=None,
+                    help="comma list; subset regens merge into the "
+                         "existing report")
     ap.add_argument("--out", default=os.path.join(
         REPO, "tests", "goldens", "oracle_report.json"))
     a = ap.parse_args()
     import tempfile
     outroot = tempfile.mkdtemp(prefix="oracle_parity_")
     report = {"n_reads": a.n_reads, "samples": {}}
-    for (sample, mode, trns, genome, bcs) in CONFIGS:
+    cfgs = CONFIGS
+    if a.samples:
+        want = set(a.samples.split(","))
+        cfgs = [c for c in CONFIGS if c[0] in want]
+        if os.path.isfile(a.out):
+            prev = json.load(open(a.out))
+            if prev.get("n_reads") == a.n_reads:
+                report["samples"].update(prev.get("samples", {}))
+    for (sample, mode, trns, genome, bcs) in cfgs:
         print(f"[oracle] {sample} ({mode})", flush=True)
         rep = run_sample(sample, mode, trns, genome, bcs, a.n_reads,
                          outroot)
