@@ -30,7 +30,14 @@ from ..io import fasta
 from .minimizers import K, W, sketch_batch
 
 # refs whose length exceeds this are sketched in streaming chunks
-SMALL_REF_LIMIT = 1 << 15
+# refs at or below this length sketch through the padded multi-row batch
+# path; only truly chromosome-scale refs take the per-ref streaming
+# chunker.  Was 1<<15, which sent transcriptome-scale refs (GENCODE
+# transcripts, the scale-bench 40 kb synthetics) through _sketch_chunked
+# ONE AT A TIME — 4-row padded calls with 3 empty rows, ~4,000 device
+# dispatches for a 160 Mb transcriptome (measured 1551 s; ~60 s after
+# this change).
+SMALL_REF_LIMIT = 1 << 18
 CHUNK_KMERS = 1 << 17        # k-mer positions accepted per chunk
 _CTX = W - 1                 # k-mers of boundary context per side
 
@@ -110,18 +117,32 @@ def _sketch_small_batch(seqs, lens, max_rows: int = 1024):
     from ..io.encode import PAD
     R = len(seqs)
     # group refs by pow2 length bucket so padding waste stays ~2x and each
-    # (rows, L) shape compiles once
+    # (rows, L) shape compiles once; a cell budget caps rows x padded-L so
+    # long-ref groups shrink instead of materializing GB-scale batches
+    CELLS = 1 << 24
     order = sorted(range(R), key=lambda r: int(lens[r]))
     hs: list = [None] * R
     ps: list = [None] * R
     ss: list = [None] * R
+
+    def pow2ceil(x, lo=128):
+        v = lo
+        while v < x:
+            v *= 2
+        return v
+
     i = 0
     while i < R:
-        grp = order[i:i + max_rows]
-        Lmax = int(lens[grp[-1]])
-        L = 128
-        while L < Lmax:
-            L *= 2
+        L = pow2ceil(int(lens[order[i]]))
+        grp = [order[i]]
+        j = i + 1
+        while j < R and len(grp) < max_rows:
+            L2 = pow2ceil(int(lens[order[j]]))     # >= L (sorted)
+            if (len(grp) + 1) * L2 > CELLS:
+                break
+            L = L2
+            grp.append(order[j])
+            j += 1
         B = 1
         while B < len(grp):
             B *= 2
@@ -139,7 +160,7 @@ def _sketch_small_batch(seqs, lens, max_rows: int = 1024):
             hs[rid] = h_b[k, :c]
             ps[rid] = p_b[k, :c]
             ss[rid] = s_b[k, :c]
-        i += max_rows
+        i = j
     return hs, ps, ss
 
 
