@@ -450,16 +450,26 @@ class DeconRun:
                 # prewarm the unfused fallback programs UNCONDITIONALLY on
                 # the first batch (the programs are shape-specialized to
                 # pinned buckets, not the data), so their one-time
-                # compiles land before the steady-state marker
+                # compiles land before the steady-state marker.
+                # Tolerant: on very large indexes the unfused chain can
+                # exhaust HBM next to the fused executables + tables
+                # (observed on the 160 Mb scale run) — a failed prewarm
+                # just leaves the fallback cold, and workloads that never
+                # defer (single-subread reads) never touch it.
                 didx = np.where(out["defer"])[0][:8]
                 if len(didx) == 0:
                     didx = np.zeros(1, np.int64)
                 cr = np.full((len(didx), max_len), PAD, np.int8)
                 cr[:, :batch.codes.shape[1]] = batch.codes[didx]
-                self._slow_groups(spec, sample, cr,
-                                  np.asarray(batch.lengths)[didx],
-                                  [batch.names[j] for j in didx],
-                                  [batch.quals[j] for j in didx])
+                try:
+                    self._slow_groups(spec, sample, cr,
+                                      np.asarray(batch.lengths)[didx],
+                                      [batch.names[j] for j in didx],
+                                      [batch.quals[j] for j in didx])
+                except Exception as e:      # pragma: no cover - HW-dependent
+                    log(f"WARNING: unfused-fallback prewarm failed "
+                        f"({type(e).__name__}); fallback stays cold")
+                    self._fallback_aligner = None
             if buf_defers == 0 or len(buffer) >= FLUSH_BATCHES or \
                     buf_defers >= DEFER_CAP:
                 flush()

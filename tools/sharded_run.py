@@ -38,7 +38,12 @@ def main():
     ap.add_argument("--mode", default="5p10XTCR")
     ap.add_argument("--trns", default="TR_V_human.fa")
     ap.add_argument("--n-reads", type=int, default=1200)
-    ap.add_argument("--data", type=int, default=2)
+    ap.add_argument("--data", type=int, default=1)
+    ap.add_argument("--dp-chunk", type=int, default=64,
+                    help="DP rows per while_loop chunk; small values keep "
+                         "the gap between in-loop collectives under the "
+                         "XLA CPU 40 s rendezvous watchdog on "
+                         "oversubscribed hosts")
     ap.add_argument("--wl", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "SHARDED_RUN.json"))
@@ -80,10 +85,10 @@ def main():
     # sharded run over the mesh
     t0 = time.time()
     mesh = make_mesh(a.data, a.wl)
-    swl = ShardedWhitelist(bcs, spec.barcode, a.wl)
+    swl = ShardedWhitelist(bcs, spec.barcode, a.wl, dp_chunk=a.dp_chunk)
     arrs = swl.device_arrays(mesh)
     fn = build_sharded_match(swl, mesh)
-    batch = 512
+    batch = 256
     got = {k: [] for k in ("bc_idx", "score", "status", "umi")}
     for s in range(0, n, batch):
         qc = q[s:s + batch]
