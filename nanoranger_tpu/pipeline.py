@@ -71,6 +71,12 @@ MODE_DEFAULTS = {  # (trns_ref, genome_ref, barcodes) — reference pipeline.py
 MATCH_BATCH, MATCH_LQ = 4096, 96
 
 
+def _inflight() -> int:
+    """Fused-path device-queue depth (batches in flight beyond the one
+    draining).  See dispatch() in DeconRun._run_fast."""
+    return int(os.environ.get("NANORANGER_INFLIGHT", "3"))
+
+
 def log(msg: str):
     print(f"[nanoranger-tpu] {msg}", flush=True)
 
@@ -511,9 +517,14 @@ class DeconRun:
                                             a["names"], a["quals"]),
                             a["seq"], a["n"], out_dev))
             acc[Lb] = _new_acc(Lb)
-            # keep up to 4 batches in flight: the device computes ahead
-            # while the host drains (download + assembly + artifact IO)
-            if len(pending) > 3:
+            # keep up to 1+NANORANGER_INFLIGHT batches in flight: the
+            # device computes ahead while the host drains (download +
+            # assembly + artifact IO).  Scale-regime runs (100 Mb+
+            # indexes, 1M+ whitelists) lower this so concurrent batch
+            # activations don't stack on top of the resident tables in
+            # HBM (observed RESOURCE_EXHAUSTED at depth 4 on the 160 Mb
+            # scale run).
+            if len(pending) > _inflight():
                 drain()
 
         if on_accel and os.environ.get("NANORANGER_AOT", "") == "0":

@@ -191,10 +191,12 @@ def merge_shards(mode: str, shard_dirs: list, outdir: str, sample: str,
         if metas and all(m["spec"] == metas[0]["spec"] and
                          m["n_whitelist"] == metas[0]["n_whitelist"]
                          for m in metas):
+            from ..io.candidate_store import CandidateStore
             from ..pipeline import _match_fingerprint
             names = df.name.tolist()
             fp = _match_fingerprint(
-                spec, np.zeros(metas[0]["n_whitelist"]), names)
+                spec, np.zeros(metas[0]["n_whitelist"]),
+                CandidateStore.from_lists(names, names))
             tmp = f"{outdir}/{sample}_assignments.csv.gz.meta.json.tmp"
             with open(tmp, "w") as f:
                 json.dump(fp, f)
