@@ -130,7 +130,7 @@ def main():
     t0 = time.time()
     run_pipeline("5p10XGEX", f"{d}/reads.fastq.gz", f"{d}/out", "sc",
                  trns_ref=f"{d}/txome.fa", genome_ref="/nonexistent",
-                 barcodes=f"{d}/wl.txt.gz", batch_size=1024)
+                 barcodes=f"{d}/wl.txt.gz", batch_size=512)
     wall = time.time() - t0
     rs = json.load(open(f"{d}/out/sc_runstats.json"))
 
